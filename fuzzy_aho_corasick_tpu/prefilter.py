@@ -1,0 +1,250 @@
+"""Bit-parallel (Bitap / Wu-Manber) pre-filter (reference: src/prefilter.rs).
+
+An opt-in fast lane with an **identical results** guarantee: the shift-AND
+scan admits every region whose unit-cost Levenshtein distance to some pattern
+is within a conservatively derived budget ``k``, and the full engine
+re-searches only those candidate windows. Configurations that don't reduce to
+the bit model (mappings, patterns > 63 graphemes, free edits, > 255 distinct
+symbols, huge ``k``) transparently fall back to the full search.
+
+The scan itself lives in :mod:`fuzzy_aho_corasick_tpu.ops.bitap` — a
+TPU-chunked shift-AND kernel (each vector lane runs the recurrence over an
+independent chunk with an ``m + k`` halo) with a NumPy host fallback.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .matches import FuzzyMatches
+from .options import SearchOptions
+from .structs import FuzzyLimits, FuzzyMatch, f32
+from .utils.graphemes import fold_graphemes, graphemes
+
+#: Longest pattern (graphemes) the u64 bit-vectors hold (reference src/prefilter.rs:30).
+MAX_PATTERN_GRAPHEMES = 63
+#: Beyond this k the filter stops pruning meaningfully (reference src/prefilter.rs:32).
+MAX_USEFUL_K = 24
+#: Most distinct symbols supported, so ids fit u8 (reference src/prefilter.rs:35).
+MAX_ALPHABET = 255
+
+
+def k_from_limits(lim: FuzzyLimits) -> Optional[int]:
+    """Upper bound on Levenshtein distance under ``lim``
+    (reference src/prefilter.rs:388-405); swaps count 2."""
+    if lim.edits_ is not None:
+        swaps_forbidden = lim.swaps_ == 0
+        return lim.edits_ if swaps_forbidden else 2 * lim.edits_
+    if None in (lim.insertions_, lim.deletions_, lim.substitutions_, lim.swaps_):
+        return None
+    return lim.insertions_ + lim.deletions_ + lim.substitutions_ + 2 * lim.swaps_
+
+
+class _BitapPattern:
+    __slots__ = ("m", "weight", "mask", "k_limit")
+
+    def __init__(self, m: int, weight: np.float32, mask: np.ndarray, k_limit: Optional[int]):
+        self.m = m
+        self.weight = weight
+        self.mask = mask  # uint64[alphabet+1]
+        self.k_limit = k_limit
+
+
+class BitapFilter:
+    """Precomputed, threshold-independent state for the bit-parallel scan
+    (reference src/prefilter.rs:69-93, 161-245)."""
+
+    def __init__(self, engine) -> None:
+        self.symbol_ids: Dict[str, int] = {}
+        self.case_insensitive = engine.case_insensitive
+        self.patterns: List[_BitapPattern] = []
+        self.edit_cost_mult: np.float32 = f32(0.0)
+        self.ascii_id = np.zeros(256, dtype=np.uint8)
+
+    @staticmethod
+    def build(engine) -> Optional["BitapFilter"]:
+        """Try to build a filter; ``None`` when the config isn't reducible
+        (reference src/prefilter.rs:161-245)."""
+        if engine.mappings or not engine.patterns():
+            return None
+
+        p = engine.penalties
+        max_sim = engine.similarity.max_off_diagonal()
+        p_sub_min = np.float32(p.substitution * np.float32(1.0 - max_sim))
+        with np.errstate(divide="ignore"):
+            mults = [
+                np.float32(1.0) / p.insertion,
+                np.float32(1.0) / p.deletion,
+                np.float32(1.0) / p_sub_min,
+                np.float32(2.0) / p.swap,
+            ]
+        if any((not np.isfinite(m)) or m <= 0.0 for m in mults):
+            return None
+
+        self = BitapFilter(engine)
+        self.edit_cost_mult = np.float32(max(mults))
+
+        id_lists: List[List[int]] = []
+        for pat in engine.patterns():
+            gs = fold_graphemes(pat.pattern, engine.case_insensitive)
+            m = len(gs)
+            if m == 0 or m > MAX_PATTERN_GRAPHEMES:
+                return None
+            ids = []
+            for g in gs:
+                gid = self.symbol_ids.get(g)
+                if gid is None:
+                    gid = len(self.symbol_ids) + 1  # ids start at 1; 0 = "other"
+                    if gid > MAX_ALPHABET:
+                        return None
+                    self.symbol_ids[g] = gid
+                ids.append(gid)
+            applicable = pat.limits if pat.limits is not None else engine.limits
+            self.patterns.append(
+                _BitapPattern(
+                    m,
+                    pat.weight,
+                    np.zeros(0, dtype=np.uint64),
+                    k_from_limits(applicable) if applicable is not None else None,
+                )
+            )
+            id_lists.append(ids)
+
+        # ASCII fast-path table (reference src/prefilter.rs:214-225).
+        for b in range(128):
+            ch = chr(b)
+            folded = ch.lower() if engine.case_insensitive else ch
+            gid = self.symbol_ids.get(folded)
+            if gid is not None:
+                self.ascii_id[b] = gid
+
+        alphabet = len(self.symbol_ids)
+        for bp, ids in zip(self.patterns, id_lists):
+            mask = np.zeros(alphabet + 1, dtype=np.uint64)
+            for i, gid in enumerate(ids):
+                mask[gid] |= np.uint64(1) << np.uint64(i)
+            bp.mask = mask
+        return self
+
+    # ------------------------------------------------------------------
+    def transcode(self, haystack: str) -> Tuple[np.ndarray, Optional[List[int]]]:
+        """Haystack -> u8 symbol-id stream + grapheme->byte offsets
+        (reference src/prefilter.rs:251-281). Offsets ``None`` = identity
+        (all-ASCII)."""
+        if haystack.isascii():
+            raw = np.frombuffer(haystack.encode("ascii"), dtype=np.uint8)
+            return self.ascii_id[raw], None
+        ids: List[int] = []
+        offsets: List[int] = []
+        pos = 0
+        get = self.symbol_ids.get
+        for g in graphemes(haystack):
+            offsets.append(pos)
+            pos += len(g.encode("utf-8"))
+            if self.case_insensitive:
+                if g.isascii() and not any("A" <= c <= "Z" for c in g):
+                    gid = get(g)
+                else:
+                    gid = get(g.lower())
+            else:
+                gid = get(g)
+            ids.append(gid or 0)
+        offsets.append(len(haystack.encode("utf-8")))
+        return np.asarray(ids, dtype=np.uint8), offsets
+
+    def k_for(self, bp: _BitapPattern, threshold: np.float32) -> Optional[int]:
+        """Effective edit budget at this threshold, or None -> full search
+        (reference src/prefilter.rs:285-302)."""
+        n = np.float32(bp.m)
+        p_max = np.float32(n * np.float32(1.0 - np.float32(threshold / bp.weight)))
+        if p_max <= 0.0:
+            k_pen = 0
+        else:
+            k_pen = int(np.floor(np.float32(p_max * self.edit_cost_mult)))
+        k = k_pen if bp.k_limit is None else min(k_pen, bp.k_limit)
+        return None if k > MAX_USEFUL_K else k
+
+    def search_unsorted(self, engine, haystack: str, threshold: float) -> List[FuzzyMatch]:
+        """Pre-filtered raw search (reference src/prefilter.rs:304-374)."""
+        thr = np.float32(threshold)
+        ks: List[int] = []
+        for bp in self.patterns:
+            k = self.k_for(bp, thr)
+            if k is None:
+                from . import oracle
+
+                return engine.search_raw(haystack, threshold)
+            ks.append(k)
+
+        ids, offsets = self.transcode(haystack)
+        n = len(ids)
+
+        from .ops.bitap import bitap_windows_auto
+
+        windows: List[Tuple[int, int]] = []
+        for bp, k in zip(self.patterns, ks):
+            bitap_windows_auto(bp.mask, bp.m, k, ids, windows)
+        if not windows:
+            return []
+
+        windows.sort()
+        merged: List[List[int]] = []
+        for s, e in windows:
+            if merged and s <= merged[-1][1]:
+                if e > merged[-1][1]:
+                    merged[-1][1] = e
+            else:
+                merged.append([s, e])
+
+        hay_bytes = haystack.encode("utf-8")
+
+        def byte_of(i: int) -> int:
+            return i if offsets is None else offsets[i]
+
+        best: Dict[Tuple[int, int, int], FuzzyMatch] = {}
+        for gs, ge in merged:
+            bstart = byte_of(gs)
+            bend = byte_of(min(ge, n))
+            sub = hay_bytes[bstart:bend].decode("utf-8")
+            for m in engine.search_raw(sub, threshold):
+                start = bstart + m.start
+                end = bstart + m.end
+                key = (start, end, m.pattern_index)
+                entry = best.get(key)
+                if entry is None or m.similarity > entry.similarity:
+                    import dataclasses
+
+                    best[key] = dataclasses.replace(
+                        m,
+                        start=start,
+                        end=end,
+                        text=hay_bytes[start:end].decode("utf-8"),
+                    )
+        inner = sorted(best.values(), key=lambda m: (m.start, m.end, m.pattern_index))
+        return inner
+
+
+class Prefiltered:
+    """An engine wrapped with an optional bit-parallel pre-filter
+    (reference src/prefilter.rs:57-156). Obtain via
+    :meth:`FuzzyAhoCorasick.with_prefilter`."""
+
+    def __init__(self, engine):
+        self.engine = engine
+        self.filter = BitapFilter.build(engine)
+
+    def is_active(self) -> bool:
+        """Whether a usable filter was built (reference src/prefilter.rs:121-127)."""
+        return self.filter is not None
+
+    def search(self, haystack: str, opts: SearchOptions) -> FuzzyMatches:
+        """Identical results to ``engine.search`` (reference src/prefilter.rs:135-143)."""
+        if self.filter is not None:
+            inner = self.filter.search_unsorted(self.engine, haystack, opts.threshold)
+        else:
+            inner = self.engine.search_raw(haystack, opts.threshold)
+        matches = FuzzyMatches(haystack, inner)
+        matches.apply(opts.order, opts.overlap)
+        return matches

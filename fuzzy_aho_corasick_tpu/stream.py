@@ -1,0 +1,344 @@
+"""Streaming fuzzy search and replace over a byte reader
+(reference: src/stream.rs).
+
+Constant-memory windowed scan of arbitrarily large inputs with absolute
+``u64`` byte offsets. Windows overlap by ``max_match_graphemes() + 1``
+graphemes so no match is ever split, and each window *owns* the matches whose
+start falls before its commit boundary — exactly-once emission with zero
+cross-window communication (reference src/stream.rs:9-13, 262-297). That halo
+rule is also precisely how the haystack shards across a TPU mesh
+(:mod:`fuzzy_aho_corasick_tpu.parallel.shard_search`).
+
+The reference parallelizes windows across a ``std::thread`` pool
+(src/stream.rs:378-429); the TPU-native equivalent batches windows into a
+single device dispatch (the engine's kernel path already vectorizes over all
+start positions), so ``search_stream_parallel`` here keeps the reference's
+exactly-once/ordering semantics while the parallelism lives inside the device
+kernels and across the device mesh.
+"""
+
+from __future__ import annotations
+
+import io
+from collections import deque
+from dataclasses import dataclass
+from typing import Callable, Iterator, List, Optional
+
+from .options import SearchOptions
+from .structs import FuzzyMatch, NumEdits
+
+#: Default per-window byte target (reference src/stream.rs:65).
+DEFAULT_WINDOW = 256 * 1024
+
+
+@dataclass
+class StreamMatch:
+    """A match with absolute (stream-wide) byte offsets, owning its text
+    (reference src/stream.rs:38-60)."""
+
+    start: int
+    end: int
+    pattern_index: int
+    similarity: float
+    insertions: NumEdits
+    deletions: NumEdits
+    substitutions: NumEdits
+    swaps: NumEdits
+    edits: NumEdits
+    text: str
+
+
+@dataclass
+class _StreamWindow:
+    """An owned window: covers global bytes [base, base + len(text)); owns
+    matches whose start byte is < commit (reference src/stream.rs:67-73)."""
+
+    base: int
+    text: str
+    commit: int
+
+
+class WindowReader:
+    """Cuts a byte stream into owned, overlapping windows at grapheme-boundary
+    commit points; UTF-8-partial-codepoint safe; auto-grows when the overlap
+    doesn't fit (reference src/stream.rs:76-159)."""
+
+    def __init__(self, reader, window: int, overlap_graphemes: int):
+        self.reader = _as_reader(reader)
+        self.buf = bytearray()
+        self.base = 0
+        self.total = 0
+        self.window = window
+        self.overlap_graphemes = overlap_graphemes
+        self.done = False
+
+    def next_window(self) -> Optional[_StreamWindow]:
+        if self.done:
+            return None
+        from .utils.graphemes import graphemes
+
+        while True:
+            while len(self.buf) < self.window:
+                chunk = self.reader.read(64 * 1024)
+                if not chunk:
+                    break
+                self.buf.extend(chunk)
+                self.total += len(chunk)
+            eof = len(self.buf) < self.window
+
+            # Search only the valid-UTF-8 prefix; a trailing partial code
+            # point waits for more bytes (reference src/stream.rs:117-122).
+            text, valid = _valid_utf8_prefix(bytes(self.buf))
+
+            if eof:
+                self.done = True
+                return _StreamWindow(base=self.base, text=text, commit=valid)
+
+            # Commit boundary (a byte offset): keep the last overlap_graphemes
+            # graphemes so no match is split (reference src/stream.rs:133-147).
+            commit = _commit_boundary(text, self.overlap_graphemes)
+            if commit is None or commit <= 0:
+                self.window += max(self.window, 64 * 1024)
+                continue
+            out = _StreamWindow(base=self.base, text=text, commit=commit)
+            del self.buf[:commit]
+            self.base += commit
+            return out
+
+
+def _as_reader(reader):
+    if isinstance(reader, (bytes, bytearray)):
+        return io.BytesIO(bytes(reader))
+    if isinstance(reader, str):
+        return io.BytesIO(reader.encode("utf-8"))
+    return reader
+
+
+def _valid_utf8_prefix(buf: bytes) -> tuple[str, int]:
+    try:
+        return buf.decode("utf-8"), len(buf)
+    except UnicodeDecodeError as e:
+        valid = e.start
+        return buf[:valid].decode("utf-8"), valid
+
+
+def _commit_boundary(text: str, overlap_graphemes: int) -> Optional[int]:
+    """Byte offset of the start of the trailing ``overlap_graphemes``-th
+    grapheme, or None when the text is too small (reference src/stream.rs:133-147)."""
+    from .utils.graphemes import graphemes
+
+    # Only the suffix needs segmenting: a grapheme cluster is at most a few
+    # hundred bytes in practice, but clusters are unbounded in theory, so
+    # widen the tail until enough clusters are found (mirrors the reference's
+    # reverse iterator, which is O(overlap)).
+    tail_bytes = max(overlap_graphemes * 8, 256)
+    b = text.encode("utf-8")
+    n = len(b)
+    while True:
+        lo = max(0, n - tail_bytes)
+        # Align lo down to a UTF-8 boundary.
+        while lo > 0 and (b[lo] & 0xC0) == 0x80:
+            lo -= 1
+        tail = b[lo:].decode("utf-8")
+        gs = graphemes(tail)
+        if len(gs) > overlap_graphemes or lo == 0:
+            if len(gs) < overlap_graphemes:
+                return None  # too small to make progress
+            # Offset of the grapheme that starts the overlap region.
+            keep = gs[len(gs) - overlap_graphemes :]
+            off = n - sum(len(g.encode("utf-8")) for g in keep)
+            if off <= 0:
+                return None
+            return off
+        tail_bytes *= 2
+
+
+def _window_matches(engine, text: str, base: int, commit: int, threshold: float, out: List[StreamMatch]) -> None:
+    """Window-local matches -> owned StreamMatches with absolute offsets,
+    keeping only starts < commit (reference src/stream.rs:262-297)."""
+    matches = engine.search(
+        text,
+        SearchOptions.new().with_threshold(threshold).sorted().non_overlapping(),
+    )
+    for m in matches:
+        if m.start < commit:
+            out.append(
+                StreamMatch(
+                    start=base + m.start,
+                    end=base + m.end,
+                    pattern_index=m.pattern_index,
+                    similarity=m.similarity,
+                    insertions=m.insertions,
+                    deletions=m.deletions,
+                    substitutions=m.substitutions,
+                    swaps=m.swaps,
+                    edits=m.edits,
+                    text=m.text,
+                )
+            )
+
+
+def search_stream(engine, reader, threshold: float, on_match: Callable[[StreamMatch], None]) -> int:
+    """Single-threaded streaming search; returns total bytes read
+    (reference src/stream.rs:319-335)."""
+    wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
+    batch: List[StreamMatch] = []
+    while True:
+        w = wr.next_window()
+        if w is None:
+            break
+        batch.clear()
+        _window_matches(engine, w.text, w.base, w.commit, threshold, batch)
+        for m in batch:
+            on_match(m)
+    return wr.total
+
+
+class StreamMatches:
+    """Lazy iterator over stream matches (reference src/stream.rs:165-204).
+
+    Yields :class:`StreamMatch`; an IO error from the reader propagates once,
+    then iteration ends.
+    """
+
+    def __init__(self, engine, reader, threshold: float):
+        self.engine = engine
+        self.reader = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
+        self.threshold = threshold
+        self.pending: deque[StreamMatch] = deque()
+        self.errored = False
+
+    def __iter__(self) -> Iterator[StreamMatch]:
+        return self
+
+    def __next__(self) -> StreamMatch:
+        while True:
+            if self.pending:
+                return self.pending.popleft()
+            if self.errored:
+                raise StopIteration
+            w = self.reader.next_window()
+            if w is None:
+                raise StopIteration
+            batch: List[StreamMatch] = []
+            _window_matches(self.engine, w.text, w.base, w.commit, self.threshold, batch)
+            self.pending.extend(batch)
+
+
+def search_stream_parallel(
+    engine, reader, threshold: float, shards: int, on_match: Callable[[StreamMatch], None]
+) -> int:
+    """Parallel streaming search (reference src/stream.rs:378-429).
+
+    TPU-native form: windows are batched and dispatched together so the device
+    kernel (already data-parallel over every start position, and shardable
+    over the mesh) does the fan-out; results reach ``on_match`` on the calling
+    thread, unordered across windows like the reference.
+    """
+    shards = max(1, shards)
+    wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
+    while True:
+        batch_windows: List[_StreamWindow] = []
+        for _ in range(shards):
+            w = wr.next_window()
+            if w is None:
+                break
+            batch_windows.append(w)
+        if not batch_windows:
+            break
+        for w in batch_windows:
+            out: List[StreamMatch] = []
+            _window_matches(engine, w.text, w.base, w.commit, threshold, out)
+            for m in out:
+                on_match(m)
+    return wr.total
+
+
+def _window_replace_matches(engine, text: str, commit: int, threshold: float) -> List[FuzzyMatch]:
+    """The matches a window owns for replacement: non-overlapping, start <
+    commit, sorted by position (reference src/stream.rs:496-517)."""
+    matches = engine.search(
+        text,
+        SearchOptions.new().with_threshold(threshold).sorted().non_overlapping(),
+    )
+    owned = [m for m in matches if m.start < commit]
+    owned.sort(key=lambda m: (m.start, m.end))
+    return owned
+
+
+class _ReplaceCursor:
+    """Tracks output progress across windows (reference src/stream.rs:641-705)."""
+
+    def __init__(self):
+        self.emitted = 0
+        self.written = 0
+
+    def emit_window(self, writer, callback, base: int, text: str, commit: int, matches) -> None:
+        data = text.encode("utf-8")
+        for m in matches:
+            match_start = base + m.start
+            if match_start < self.emitted:
+                continue  # earlier window's match extended past its commit; it won
+            if self.emitted < match_start:
+                lo = self.emitted - base
+                writer.write(data[lo : m.start])
+                self.written += m.start - lo
+            repl = callback(m)
+            if repl is not None:
+                rb = repl.encode("utf-8") if isinstance(repl, str) else bytes(repl)
+                writer.write(rb)
+                self.written += len(rb)
+            else:
+                writer.write(data[m.start : m.end])
+                self.written += m.end - m.start
+            self.emitted = base + m.end
+        commit_abs = base + commit
+        if self.emitted < commit_abs:
+            lo = self.emitted - base
+            writer.write(data[lo:commit])
+            self.written += commit - lo
+            self.emitted = commit_abs
+
+
+def replace_stream(engine, reader, writer, threshold: float, callback) -> int:
+    """Streaming find-and-replace in constant memory; returns bytes written
+    (reference src/stream.rs:465-492)."""
+    wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
+    cursor = _ReplaceCursor()
+    while True:
+        w = wr.next_window()
+        if w is None:
+            break
+        matches = _window_replace_matches(engine, w.text, w.commit, threshold)
+        cursor.emit_window(writer, callback, w.base, w.text, w.commit, matches)
+    return cursor.written
+
+
+def replace_stream_parallel(engine, reader, writer, shards: int, threshold: float, callback) -> int:
+    """Parallel replace with in-stream-order reassembly; byte-identical to
+    :func:`replace_stream` (reference src/stream.rs:533-638).
+
+    Windows are searched in batches (device-parallel); output is reassembled
+    in producer order on the calling thread, mirroring the reference's
+    seq-tagged collector (src/stream.rs:603-630).
+    """
+    shards = max(1, shards)
+    wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
+    cursor = _ReplaceCursor()
+    while True:
+        batch_windows: List[_StreamWindow] = []
+        for _ in range(shards):
+            w = wr.next_window()
+            if w is None:
+                break
+            batch_windows.append(w)
+        if not batch_windows:
+            break
+        # Search phase (parallelizable across devices); reassembly in order.
+        results = [
+            (w, _window_replace_matches(engine, w.text, w.commit, threshold))
+            for w in batch_windows
+        ]
+        for w, matches in results:
+            cursor.emit_window(writer, callback, w.base, w.text, w.commit, matches)
+    return cursor.written

@@ -1,0 +1,139 @@
+"""Grapheme segmentation, case folding, and transcoding (host side).
+
+TPU-native counterpart of the reference's grapheme layer
+(reference: src/grapheme.rs, src/search.rs:398-416, src/prefilter.rs:251-281).
+The device only ever sees dense integer symbol streams produced here; all
+Unicode handling stays on the host.
+
+Two paths, mirroring the reference's monomorphized storage:
+
+* **ASCII fast path** (reference src/grapheme.rs:76-125): every byte of an
+  all-ASCII haystack is its own grapheme; case folding is ``byte | 0x20`` for
+  letters. Transcoding is a single vectorized table lookup over the byte
+  array — no segmentation, no hashing.
+* **Unicode path** (reference src/search.rs:398-416): extended grapheme
+  clusters via the ``regex`` module's ``\\X`` (UAX #29 — the same definition
+  as the reference's ``unicode-segmentation`` crate), lowercased per grapheme
+  when case-insensitive.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import regex
+
+_GRAPHEME_RE = regex.compile(r"\X")
+
+# Vectorized ASCII lower-case table: byte -> folded byte.
+_ASCII_LOWER = np.arange(256, dtype=np.uint8)
+_ASCII_LOWER[ord("A") : ord("Z") + 1] += 32
+
+
+def graphemes(text: str) -> list[str]:
+    """Split ``text`` into extended grapheme clusters (UAX #29).
+
+    Matches the reference's ``UnicodeSegmentation::graphemes(s, true)``.
+    """
+    return _GRAPHEME_RE.findall(text)
+
+
+def grapheme_len(text: str) -> int:
+    """Number of extended grapheme clusters in ``text``."""
+    if text.isascii():
+        # The reference counts pattern graphemes with full segmentation even
+        # for ASCII (CRLF is one cluster), so only pure single-byte counting
+        # when no '\r' is present.
+        if "\r" not in text:
+            return len(text)
+    return len(_GRAPHEME_RE.findall(text))
+
+
+def fold_graphemes(text: str, case_insensitive: bool) -> list[str]:
+    """Case-fold (when requested) + grapheme-split, matching the builder's trie
+    construction (reference src/builder.rs:195-205, src/prefilter.rs:377-385).
+    """
+    gs = graphemes(text)
+    if case_insensitive:
+        return [g.lower() for g in gs]
+    return gs
+
+
+def is_ascii(text: str) -> bool:
+    return text.isascii()
+
+
+class HaystackView:
+    """A segmented, optionally case-folded view of a haystack.
+
+    Unifies the reference's two ``GraphemeStorage`` implementations
+    (src/grapheme.rs:33-125): exposes per-grapheme byte offsets, folded text,
+    and folded first chars, with a zero-copy ASCII fast path.
+    """
+
+    __slots__ = ("haystack", "ascii", "case_insensitive", "_texts", "_offsets", "_chars")
+
+    def __init__(self, haystack: str, case_insensitive: bool):
+        self.haystack = haystack
+        self.case_insensitive = case_insensitive
+        self.ascii = haystack.isascii()
+        if self.ascii:
+            self._texts = None
+            self._offsets = None
+            self._chars = None
+        else:
+            texts: list[str] = []
+            offsets: list[int] = []
+            pos = 0
+            for g in _GRAPHEME_RE.findall(haystack):
+                offsets.append(pos)
+                pos += len(g.encode("utf-8"))
+                if case_insensitive and not (g.isascii() and not any("A" <= c <= "Z" for c in g)):
+                    texts.append(g.lower())
+                else:
+                    texts.append(g)
+            self._texts = texts
+            self._offsets = offsets
+            self._chars = [t[0] if t else "\0" for t in texts]
+
+    def __len__(self) -> int:
+        if self.ascii:
+            return len(self.haystack)
+        return len(self._texts)
+
+    def byte_offset(self, idx: int) -> int:
+        """Byte offset of grapheme ``idx`` (reference src/grapheme.rs:36,57,96)."""
+        if self.ascii:
+            return idx
+        return self._offsets[idx]
+
+    def text(self, idx: int) -> str:
+        """The (folded) grapheme at ``idx`` (reference src/grapheme.rs:61,100)."""
+        if self.ascii:
+            ch = self.haystack[idx]
+            return ch.lower() if self.case_insensitive else ch
+        return self._texts[idx]
+
+    def first_char(self, idx: int) -> str:
+        """First char of the folded grapheme at ``idx`` (src/grapheme.rs:65,111)."""
+        if self.ascii:
+            ch = self.haystack[idx]
+            return ch.lower() if self.case_insensitive else ch
+        return self._chars[idx]
+
+    def chars(self) -> list[str]:
+        """All folded first-chars, mirroring the reference's per-search
+        ``text_chars`` cache (src/search.rs:203)."""
+        if self.ascii:
+            h = self.haystack
+            return list(h.lower() if self.case_insensitive else h)
+        return list(self._chars)
+
+
+def transcode_ascii(haystack: str, table: np.ndarray) -> np.ndarray:
+    """Map an all-ASCII haystack to a symbol-id stream via a 256-entry table.
+
+    Vectorized equivalent of the reference's byte fast path
+    (src/prefilter.rs:253-259). ``table`` must already encode case folding.
+    """
+    raw = np.frombuffer(haystack.encode("ascii"), dtype=np.uint8)
+    return table[raw]

@@ -1,0 +1,578 @@
+"""Behavioral conformance corpus, ported from the reference's in-crate tests
+(reference: src/tests.rs — per-edit-type coverage, case folding, overlap
+regressions, limits, penalties, segmentation/replace/strip/split, beams,
+weakest-link floor)."""
+
+import pytest
+
+from fuzzy_aho_corasick_tpu import (
+    FuzzyAhoCorasickBuilder,
+    FuzzyLimits,
+    FuzzyPenalties,
+    Pattern,
+    SearchOptions,
+)
+
+
+def make_engine():
+    return (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .build(["saddam", "hussein"])
+    )
+
+
+def opts(threshold, sort=False, greedy=False, nonov=False, unique=False):
+    o = SearchOptions.new().with_threshold(threshold)
+    if sort:
+        o = o.sorted()
+    if greedy:
+        o = o.greedy()
+    if nonov:
+        o = o.non_overlapping()
+    if unique:
+        o = o.non_overlapping_unique()
+    return o
+
+
+# --- non-overlap regressions (reference src/tests.rs:14-85) -------------
+
+def test_non_overlapping_regression_0():
+    fac = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .build(["NA", "MENA"])
+    )
+    result = fac.search("NA MENA", opts(0.6, sort=True, nonov=True))
+    assert any(m.pattern.as_str() == "MENA" and m.text == "MENA" for m in result)
+
+
+def test_non_overlapping_regression_2():
+    fac = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["KO", "KO", "LWIN"])
+    )
+    result = fac.search("KWO KO LWIN", opts(0.6, sort=True, nonov=True))
+    assert any(m.pattern.as_str() == "KO" and m.text == "KWO" for m in result)
+
+
+def test_non_overlapping_regression_3():
+    fac = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["AL", "WASEL", "AND", "BABEL", "GENERAL", "TRADING", "LLC"])
+    )
+    result = fac.search("AL WASL ANT BBEL GNERAL TRATING LC", opts(0.6, sort=True, unique=True))
+    assert any(m.pattern.as_str() == "WASEL" and m.text == "WASL" for m in result)
+    assert any(m.pattern.as_str() == "BABEL" and m.text == "BBEL" for m in result)
+
+
+# --- case folding (reference src/tests.rs:87-118) -----------------------
+
+def test_case_insensitive_ascii():
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(["world"])
+    res = engine.search("HeLlO WoRlD", opts(0.9, sort=True))
+    assert any(m.text.lower() == "world" for m in res)
+
+
+def test_unicode_cyrillic():
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(["юрий"])
+    res = engine.search("ЮРИЙ ГАГАРИН", opts(0.9, sort=True))
+    assert any(m.text.lower() == "юрий" for m in res)
+    assert engine.segment_text("ЮРИЙГАГАРИН", opts(0.9)) == "ЮРИЙ ГАГАРИН"
+
+
+# --- per-edit-type coverage (reference src/tests.rs:120-207) -------------
+
+def test_exact_match():
+    result = make_engine().search("saddamhussein", opts(0.5, sort=True))
+    assert any(m.pattern.as_str() == "saddam" and m.text == "saddam" for m in result)
+    assert any(m.pattern.as_str() == "hussein" and m.text == "hussein" for m in result)
+
+
+def test_extra_letter():
+    result = make_engine().search("saddammhussein", opts(0.3, sort=True))
+    assert any(m.pattern.as_str() == "saddam" and m.text == "saddam" for m in result)
+
+
+def test_missing_letter():
+    result = make_engine().search("saddmhussin", opts(0.3, sort=True))
+    assert any(m.pattern.as_str() == "saddam" and m.text == "saddm" for m in result)
+
+
+def test_substitution():
+    result = make_engine().search("saddamhuzein", opts(0.2, sort=True))
+    assert any(m.pattern.as_str() == "hussein" and m.text == "huzein" for m in result)
+
+
+def test_swap():
+    fac = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .build(["ALI", "KONY"])
+    )
+    result = fac.search("ALIKOYN", opts(0.6, sort=True, nonov=True))
+    assert any(m.pattern.as_str() == "KONY" and m.text == "KOYN" for m in result)
+
+
+def test_big():
+    fac = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["tincidunt", "porta"])
+    )
+    text = (
+        "Lorem ipsum dolor sit amet, consectetur adipiscing elit. Vestibulum eros ipsum, "
+        "tincidutn eu metus ut, commodo accumsan mi. Vestibulum porta, orci nec ullamcorper "
+        "posuere, eros tortor pharetra est, at porttitor mi leo a velit. Aenean sollicitudin "
+        "mauris elit, ultricies congue dui vulputate in. In hac habitasse platea dictumst. "
+        "Maecenas tincidunt semper vestibulum. Donec aliquet leo at molestie elementum."
+    )
+    result = fac.search(text, opts(0.8, sort=True, nonov=True))
+    assert any(x.text == "tincidutn" for x in result)
+    assert any(x.text == "tincidunt" for x in result)
+    assert any(x.text == "porta" for x in result)
+
+
+def test_overlap_vs_nonoverlap():
+    engine = FuzzyAhoCorasickBuilder.new().build([("saddam", 1.0, 2), ("ddamhu", 1.0, 2)])
+    matches = engine.search("saddamddamhu", opts(0.5, sort=True))
+    assert any(m.pattern.as_str() == "saddam" and m.text == "saddam" for m in matches)
+    assert any(m.pattern.as_str() == "ddamhu" and m.text == "ddamhu" for m in matches)
+
+    nonov = engine.search("saddamhussein", opts(0.7, sort=True, nonov=True))
+    assert len(nonov) == 1
+
+    two = engine.search("sadam ddamhu", opts(0.4, sort=True, nonov=True))
+    assert len(two) == 2
+    assert any(m.pattern.as_str() == "saddam" and m.text == "sadam" for m in two)
+    assert any(m.pattern.as_str() == "ddamhu" and m.text == "ddamhu" for m in two)
+
+
+def test_adjustable_penalties():
+    engine_strict = FuzzyAhoCorasickBuilder.new().build([("hussein", 1.0, 2)])
+    strict = engine_strict.search("huzein", opts(0.3, sort=True))
+    assert any(m.pattern.as_str() == "hussein" and m.text == "huzein" for m in strict)
+
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .penalties(
+            FuzzyPenalties.default()
+            .with_substitution(0.8)
+            .with_insertion(0.95)
+            .with_deletion(0.95)
+        )
+        .build([("hussein", 1.0, 3)])
+    )
+    loose = engine.search("huzein", opts(0.2, sort=True))
+    assert any(m.pattern.as_str() == "hussein" and m.text == "huzein" for m in loose)
+
+
+def test_regression_1():
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(["CO"])
+    result = engine.search("CA", opts(0.8, sort=True))
+    assert len(result) == 0
+
+
+def test_regression_2():
+    engine = FuzzyAhoCorasickBuilder.new().build(
+        [Pattern.of("TOLA").fuzzy(FuzzyLimits.new().edits(2))]
+    )
+    result = engine.search("TOL", opts(0.5, sort=True, nonov=True))
+    assert any(x.text == "TOL" for x in result)
+
+
+# --- segmentation (reference src/tests.rs:356-434) ------------------------
+
+def test_segment_text():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(3))
+        .build(["saddam", "hussein"])
+    )
+    assert engine.segment_text("sadamhusein", opts(0.8)) == "sadam husein"
+    assert engine.segment_text("sadamhuseinaltikriti", opts(0.8)) == "sadam husein altikriti"
+
+
+def test_segment_readme():
+    engine = (
+        FuzzyAhoCorasickBuilder.new().fuzzy(FuzzyLimits.new().edits(1)).build(["input", "more"])
+    )
+    matches = engine.search("someinptandm0re", opts(0.75, sort=True, nonov=True))
+    assert matches.segment_text() == "some inpt and m0re"
+
+
+def test_segment_name():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(3))
+        .build(["SHANE", "DOMINIC", "CRAWFORD"])
+    )
+    assert (
+        engine.segment_text("SHANEDOM INICCRAWFORD", opts(0.8)) == "SHANE DOM INIC CRAWFORD"
+    )
+
+
+def test_segment_text2():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .build(["HASAN", "JAMAL", "HUSSEIN", "ZEINIYE"])
+    )
+    assert (
+        engine.segment_text("ZEINIYEHussEINHASaNJAMAL", opts(0.8))
+        == "ZEINIYE HussEIN HASaN JAMAL"
+    )
+
+
+def test_fail():
+    engine = FuzzyAhoCorasickBuilder.new().build(["saddam", "hussein"])
+    assert engine.segment_text("sadam husein", opts(0.8)) == "sadam husein"
+
+
+# --- replace (reference src/tests.rs:437-537) -----------------------------
+
+def test_fuzzy_replace():
+    result = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .build_replacer(
+            [
+                ("PUBLIC JOINT STOCK COMPANY", "PJSC"),
+                ("PUBLIC JOINT STOCK", "PJSC"),
+                ("LIMITED LIABILITY COMPANY", "LLC"),
+                ("LIMITED LIABILITY", "LLC"),
+            ]
+        )
+        .replace("PUBLIC JOINT STOCK COMPANY GAZPROM", opts(0.8))
+    )
+    assert result == "PJSC GAZPROM"
+
+
+def test_fuzzy_replace_fn():
+    def cb(m):
+        if m.text == "bear":
+            return "hair"
+        if m.text == "hair":
+            return "bear"
+        return None
+
+    out = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .build(["hair", "bear", "wuzzy"])
+        .replace("Fuzzy Wuzzy was a hair. Fuzzy Wuzzy had no bear.", opts(0.8), cb)
+    )
+    assert out == "Fuzzy Wuzzy was a bear. Fuzzy Wuzzy had no hair."
+
+
+def test_longer_match_preference():
+    engine = FuzzyAhoCorasickBuilder.new().build(["JOINT STOCK COMPANY", "STOCK"])
+    result = engine.search("JOINT STOCK COMPANY GAZPROM", opts(0.8, sort=True, nonov=True))
+    assert any(m.pattern.as_str() == "JOINT STOCK COMPANY" for m in result)
+    assert not any(m.pattern.as_str() == "STOCK" for m in result)
+
+
+def test_regression_0():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2).substitutions(1))
+        .case_insensitive(True)
+        .build(["zavod"])
+    )
+    result = engine.search("NARODNY", opts(0.8, sort=True, nonov=True))
+    assert result.is_empty()
+
+
+def test_readme():
+    replacer = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().substitutions(1))
+        .case_insensitive(True)
+        .build_replacer([("foo", "bar"), ("baz", "qux")])
+    )
+    assert replacer.replace("fo0 and BAZ!", opts(0.7)) == "bar and qux!"
+
+
+def test_country():
+    replacer = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(5))
+        .case_insensitive(True)
+        .build_replacer([("CZECHOSLOVAKIA", "SERBIA")])
+    )
+    assert replacer.replace("CHEKHOSLOVAKIA", opts(0.7)) == "SERBIA"
+
+
+# --- strip / split (reference src/tests.rs:540-576) ------------------------
+
+def test_strip_prefix():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["LOREM", "IPSUM"])
+    )
+    assert engine.strip_prefix("LrEM ISuM Lorm ZZZ", opts(0.8)) == "ZZZ"
+
+
+def test_strip_postfix():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["LOREM", "IPSUM"])
+    )
+    assert engine.strip_suffix("ZZZ LrEM ISuM Lorm", opts(0.8)) == "ZZZ"
+
+
+def test_split():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["LOREM", "IPSUM"])
+    )
+    assert list(engine.split("ZZZLrEMISuMAAA", opts(0.8))) == ["ZZZ", "AAA"]
+
+
+# --- beams (reference src/tests.rs:578-626, 866-917) -----------------------
+
+def test_beam_search():
+    base = dict()
+    engine_no_beam = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .build(["saddam", "hussein"])
+    )
+    engine_with_beam = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .beam_width(100)
+        .build(["saddam", "hussein"])
+    )
+    text = "saddamhusein"
+    r1 = engine_no_beam.search(text, opts(0.7, sort=True, nonov=True))
+    r2 = engine_with_beam.search(text, opts(0.7, sort=True, nonov=True))
+    assert not r1.is_empty()
+    assert not r2.is_empty()
+    assert any(m.pattern.as_str() == "saddam" for m in r2)
+
+
+def test_auto_beam_exact_below_budget_and_bounded_above():
+    patterns = ["saddam", "hussein", "tincidunt", "porta", "vestibulum", "accumsan"]
+    text = "this is a saddamhu example with multiple saddam and tincidutn matches"
+    exact = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .build(patterns)
+    )
+    huge = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .auto_beam(2**63, 8)
+        .build(patterns)
+    )
+
+    def key(m):
+        return (m.start, m.end, m.pattern_index, float(m.similarity), m.edits)
+
+    a = [key(m) for m in exact.search(text, opts(0.6, sort=True))]
+    b = [key(m) for m in huge.search(text, opts(0.6, sort=True))]
+    assert a == b
+
+    beamed = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .auto_beam(1, 16)
+        .build(patterns)
+    )
+    matched = [m.pattern.as_str() for m in beamed.search(text, opts(0.6, sort=True))]
+    assert "saddam" in matched
+
+
+# --- per-pattern limits & truncated prefixes (reference src/tests.rs:628-809)
+
+def test_truncated_walijan():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .build([Pattern.of("WALIJAN").fuzzy(FuzzyLimits.new().edits(3))])
+    )
+    result = engine.search("alijan", opts(0.7, sort=True))
+    assert any(m.pattern.as_str() == "WALIJAN" for m in result)
+
+
+def test_truncated_short():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .build([Pattern.of("TOLA").fuzzy(FuzzyLimits.new().edits(2))])
+    )
+    result = engine.search("OLA", opts(0.5, sort=True))
+    assert any(m.text == "OLA" for m in result)
+
+
+def test_truncated_with_global_limits():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .build(["TOLA"])
+    )
+    result = engine.search("OLA", opts(0.5, sort=True))
+    assert any(m.text == "OLA" for m in result)
+
+
+def test_truncated_walijan_with_global_limits():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .fuzzy(FuzzyLimits.new().edits(3))
+        .build(["WALIJAN"])
+    )
+    result = engine.search("alijan", opts(0.7, sort=True))
+    assert any(m.pattern.as_str() == "WALIJAN" for m in result)
+
+
+def test_phonetic_td_substitution():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .build([Pattern.of("DJAMEL").fuzzy(FuzzyLimits.new().edits(3))])
+    )
+    result = engine.search("Tjamel", opts(0.5, sort=True))
+    assert any(m.pattern.as_str() == "DJAMEL" for m in result)
+
+
+def test_missing_middle_char():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .build([Pattern.of("MOMIR").fuzzy(FuzzyLimits.new().edits(3))])
+    )
+    result = engine.search("Mmir", opts(0.5, sort=True))
+    assert any(m.pattern.as_str() == "MOMIR" for m in result)
+
+
+def test_aminullah_aminulah():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .case_insensitive(True)
+        .build([Pattern.of("AMINULLAH").fuzzy(FuzzyLimits.new().edits(3))])
+    )
+    result = engine.search("Aminulah", opts(0.7, sort=True))
+    assert not result.is_empty()
+
+
+def test_long_token_no_blowup_regression():
+    """State-dedup performance regression (reference src/tests.rs:815-864).
+
+    The reference asserts < 2 s on the Rust engine; the host oracle carries a
+    Python constant factor, so this asserts completion within a generous bound
+    and the correctness condition (JSC still found).
+    """
+    import time
+
+    limits = FuzzyLimits.new().edits(3).substitutions(1).deletions(2).insertions(2).swaps(0)
+    patterns = [
+        Pattern.of(p).fuzzy(limits)
+        for p in [
+            "SA", "LES", "CO", "JSC", "LTD", "BANK", "GROUP", "COMPANY",
+            "CORPORATION", "JOINT STOCK COMPANY",
+            "FEDERAL STATE BUDGETARY INSTITUTION OF SCIENCE",
+        ]
+    ]
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(patterns)
+    haystack = "RUSSISCHE NATIONALE RUCKVERSICHERUNGSGESELLSCHAFT JSC"
+    t0 = time.time()
+    result = engine.search(haystack, opts(0.8, greedy=True))
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"state-dedup regression: took {elapsed}s"
+    assert any(m.pattern.as_str() == "JSC" for m in result)
+
+
+# --- weakest-link floor (reference src/tests.rs:1276-1343) -----------------
+
+def test_min_symbol_similarity_floor():
+    no_floor = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["vestibulum"])
+    )
+    assert len(no_floor.search("vxstibulum", opts(0.8, sort=True, nonov=True))) == 1
+
+    floored = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .min_symbol_similarity(0.3)
+        .build(["vestibulum"])
+    )
+    assert floored.search("vxstibulum", opts(0.8, sort=True, nonov=True)).is_empty()
+    assert len(floored.search("vestibulom", opts(0.8, sort=True, nonov=True))) == 1
+    assert len(floored.search("vestibulum", opts(0.8, sort=True, nonov=True))) == 1
+
+
+# --- determinism (reference src/tests.rs:1350-1453) ------------------------
+
+def test_deterministic_search():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .build(["hello", "world", "help", "held", "shell", "yellow"])
+    )
+    haystacks = [
+        "hello world", "helo world", "helllo world", "hlelo world", "hwllo world",
+        "She sells sea shells by the sea shore",
+        "A quick brown fox jumps over the lazy dog",
+    ]
+
+    def key(m):
+        return (m.start, m.end, m.pattern_index, float(m.similarity), m.edits)
+
+    for haystack in haystacks:
+        for threshold in [0.5, 0.7, 0.9]:
+            for o in [opts(threshold, sort=True), opts(threshold, greedy=True),
+                      opts(threshold, sort=True, nonov=True)]:
+                first = [key(m) for m in engine.search(haystack, o)]
+                for _ in range(3):
+                    assert [key(m) for m in engine.search(haystack, o)] == first
+
+
+# --- expected similarity values (scoring parity spot checks) ----------------
+
+def test_similarity_values_f32():
+    """Spot-check the f32 scoring formula (reference src/search.rs:696-699):
+    one insertion on a 5-char pattern = (5 - 0.52) / 5 = 0.896."""
+    import numpy as np
+
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["hello", "world"])
+    )
+    ms = engine.search("helllo wolrd", opts(0.8, sort=True, nonov=True))
+    by_pat = {m.pattern.as_str(): m for m in ms}
+    p_ins = np.float32(np.float32(0.4) * np.float32(1.3))
+    p_swap = np.float32(np.float32(0.4) * np.float32(1.3))
+    exp_ins = np.float32(np.float32(np.float32(np.float32(5.0) - p_ins) / np.float32(5.0)) * np.float32(1.0))
+    exp_swap = np.float32(np.float32(np.float32(np.float32(5.0) - p_swap) / np.float32(5.0)) * np.float32(1.0))
+    assert by_pat["hello"].similarity == exp_ins
+    assert by_pat["hello"].insertions == 1
+    assert by_pat["world"].similarity == exp_swap
+    assert by_pat["world"].swaps == 1

@@ -1,0 +1,114 @@
+"""Prefilter conformance: differential fuzz vs the full engine
+(reference src/prefilter.rs:437-562), plus the chunked-vs-scalar bitap
+equivalence the TPU kernel relies on."""
+
+import numpy as np
+
+from fuzzy_aho_corasick_tpu import (
+    FuzzyAhoCorasickBuilder,
+    FuzzyLimits,
+    FuzzyPenalties,
+    SearchOptions,
+)
+from fuzzy_aho_corasick_tpu.ops.bitap import bitap_windows, bitap_windows_chunked
+
+
+class Rng:
+    """Deterministic xorshift (reference src/prefilter.rs:442-452)."""
+
+    def __init__(self, seed):
+        self.s = seed & 0xFFFFFFFFFFFFFFFF
+
+    def next(self):
+        x = self.s
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        self.s = x
+        return x
+
+
+def key(m):
+    return (m.start, m.end, m.pattern_index, float(np.float32(m.similarity)), m.edits)
+
+
+def differential(seed, vocab, filler, trials):
+    """Assert the pre-filter reproduces the full search exactly across random
+    configs and inputs (reference src/prefilter.rs:467-529)."""
+    rng = Rng(seed)
+    for trial in range(trials):
+        npat = 1 + rng.next() % 3
+        patterns = [vocab[rng.next() % len(vocab)] for _ in range(npat)]
+        edits = rng.next() % 3
+        case_insensitive = rng.next() & 1 == 0
+
+        builder = FuzzyAhoCorasickBuilder.new().case_insensitive(case_insensitive)
+        if edits > 0:
+            builder = builder.fuzzy(FuzzyLimits.new().edits(edits))
+        if trial % 5 == 0:
+            builder = builder.penalties(
+                FuzzyPenalties.default().with_swap(0.6).with_insertion(0.5).with_deletion(0.8)
+            )
+        engine = builder.build(patterns)
+        pf = engine.with_prefilter()
+
+        length = rng.next() % 40
+        hay = []
+        for _ in range(length):
+            if rng.next() % 7 == 0:
+                hay.append(patterns[rng.next() % len(patterns)])
+                hay.append(" ")
+            else:
+                hay.append(filler[rng.next() % len(filler)])
+        hay = "".join(hay)
+
+        threshold = 0.6 + (rng.next() % 4) * 0.1
+        opts = SearchOptions.new().with_threshold(threshold)
+        expected = sorted(key(m) for m in engine.search(hay, opts))
+        got = sorted(key(m) for m in pf.search(hay, opts))
+        assert expected == got, (
+            f"mismatch (trial {trial}): patterns={patterns} edits={edits} "
+            f"ci={case_insensitive} threshold={threshold} hay={hay!r}"
+        )
+
+
+def test_prefilter_matches_full_search_ascii():
+    vocab = ["hello", "world", "vestibulum", "abc", "lorem", "cell"]
+    filler = ["a", "b", "c", "d", "e", " ", "1", "o", "0", "l"]
+    differential(0x123456789ABCDEF1, vocab, filler, 250)
+
+
+def test_prefilter_matches_full_search_unicode():
+    vocab = ["café", "naïve", "Ωμέγα", "Москва", "señor", "école"]
+    filler = ["a", "é", "ñ", "ω", "м", " ", "o", "0", "é"]
+    differential(0xDEADBEEF0BADF00D, vocab, filler, 250)
+
+
+def test_falls_back_when_not_reducible():
+    engine = FuzzyAhoCorasickBuilder.new().mapping("ae", "æ").build(["caesar"])
+    assert not engine.with_prefilter().is_active()
+
+    engine = FuzzyAhoCorasickBuilder.new().fuzzy(FuzzyLimits.new().edits(1)).build(["caesar"])
+    assert engine.with_prefilter().is_active()
+
+
+def test_chunked_bitap_equals_scalar():
+    """The halo decomposition the TPU kernel uses must reproduce the scalar
+    recurrence exactly: same candidate-window set for random streams."""
+    rng = Rng(0xC0FFEE)
+    for trial in range(40):
+        m = 1 + rng.next() % 20
+        k = rng.next() % 4
+        alphabet = 1 + rng.next() % 6
+        # Random mask: each pattern position assigned a random symbol.
+        mask = np.zeros(alphabet + 1, dtype=np.uint64)
+        for i in range(m):
+            sym = 1 + rng.next() % alphabet
+            mask[sym] |= np.uint64(1) << np.uint64(i)
+        n = 500 + rng.next() % 3000
+        ids = np.array([rng.next() % (alphabet + 1) for _ in range(n)], dtype=np.uint8)
+
+        a, b = [], []
+        bitap_windows(mask, m, k, ids, a)
+        bitap_windows_chunked(mask, m, k, ids, b, chunk=256)
+        assert sorted(set(a)) == sorted(set(b)), f"trial {trial}: m={m} k={k}"
