@@ -1,16 +1,39 @@
 """Device (TPU) search engine: dispatch layer over the JAX kernels.
 
 Routes ``search_raw`` calls onto the TPU when the configuration and haystack
-are kernel-eligible; the host oracle handles everything else. Eligibility will
-widen stage by stage (SURVEY §7 build order): exact scan first, then the fuzzy
+are kernel-eligible; the host oracle handles everything else. Eligibility
+widens stage by stage (SURVEY §7 build order): exact scan, then the fuzzy
 frontier kernel, then prefiltered and sharded paths.
 """
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from ..structs import FuzzyMatch
+
+
+def _max_edit_budget(engine) -> Optional[int]:
+    """Maximum total-edit budget across global/per-pattern limits, or None
+    when a configuration has unbounded per-type semantics the kernels don't
+    model (reference limit semantics: src/structs.rs:283-335)."""
+
+    def edits_of(lim) -> int:
+        if lim.edits_ is not None:
+            return lim.edits_
+        return (
+            (lim.insertions_ or 0)
+            + (lim.deletions_ or 0)
+            + (lim.substitutions_ or 0)
+            + (lim.swaps_ or 0)
+        )
+
+    budget = 0
+    for p in engine._patterns:
+        lim = p.limits if p.limits is not None else engine.limits
+        if lim is not None:
+            budget = max(budget, edits_of(lim))
+    return budget
 
 
 class DeviceEngine:
@@ -19,13 +42,37 @@ class DeviceEngine:
 
     def __init__(self, engine):
         self.engine = engine
-        self._exact = None
-        self._fuzzy = None
+        e = engine
+        # Exact mode: no edit budget anywhere -> pure trie-walk kernel.
+        self._exact_ok = _max_edit_budget(e) == 0 and not e.mappings
+        # Fuzzy fast-path mode: global total-edits budget 1..6, no per-pattern
+        # limits, no mappings, no beams (reference src/builder.rs:446-468
+        # fast-path conditions + device kernel restrictions).
+        self._fuzzy_ok = (
+            1 <= e.max_edits_fast <= 6
+            and not e.has_pattern_limits
+            and not e.mappings
+            and e.beam_width is None
+            and e.auto_beam is None
+            and not e.nodes[0].output  # no empty patterns
+        )
 
     def supports(self, haystack: str) -> bool:
-        """Whether the device path can serve this (engine, haystack) pair with
+        """Whether the device path serves this (engine, haystack) pair with
         results identical to the oracle."""
-        return False
+        if not (self._exact_ok or self._fuzzy_ok):
+            return False
+        # Root-output (empty-pattern) exact configs keep the oracle's NaN
+        # semantics; not worth a kernel.
+        if self._exact_ok and self.engine.nodes[0].output:
+            return False
+        return True
 
     def search_raw(self, haystack: str, threshold: float) -> List[FuzzyMatch]:
-        raise NotImplementedError
+        if self._exact_ok:
+            from .exact import exact_search_device
+
+            return exact_search_device(self.engine, haystack, threshold)
+        from .fuzzy import fuzzy_search_device
+
+        return fuzzy_search_device(self.engine, haystack, threshold)

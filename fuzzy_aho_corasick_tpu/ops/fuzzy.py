@@ -1,0 +1,472 @@
+"""Fuzzy anchored-scan kernel: fixed-width beam frontier expansion.
+
+TPU-native reformulation of the reference's per-start-position BFS
+(reference src/search.rs:418-1119, SURVEY §7): the frontier becomes a dense
+``[N_starts, BEAM]`` state table advanced in lockstep *rounds*, with the
+hash-map dedup replaced by a sort + segmented-min per round.
+
+Why per-round dedup is exact: in a tree trie the node fixes its depth ``d``,
+and every BFS path reaching state key ``(node, j, me, counts)`` has length
+``rounds = d + insertions - swaps`` — a function of the key alone. So all
+paths to equal keys collide in the *same* round, and a per-round
+sort/min-penalty compaction reproduces the reference's visited-map semantics
+(src/search.rs:31-50, 608-628) with no cross-round bookkeeping.
+
+Semantics replicated per state and per round (FAST-path configuration: total
+edit budget 1..=6, no per-pattern limits, no mappings, no explicit beams):
+
+* exact / substitution / swap / insertion / deletion branches with their push
+  guards and penalty arithmetic in f32 op order (src/search.rs:776-1089);
+* the dominated-edge rule (substitution skips the exact target,
+  src/search.rs:817-821);
+* weakest-link similarity floor (src/search.rs:826-828);
+* per-node prune ceilings and the global remaining-budget guards
+  (src/search.rs:637-648);
+* last-edit dead-end filters (src/search.rs:839-847, 1005-1007, 1050-1063) —
+  on the device these use the class-``goto`` table, which drops a subset of
+  the states the reference drops (never more), so results are unchanged.
+
+Exactness under the fixed beam: if a round's deduped frontier exceeds BEAM
+slots, the start position is flagged and re-searched by the host oracle
+(windowed to ``max_match_graphemes()`` graphemes) — overflow costs time,
+never correctness.
+
+Emission is deferred: the expanded beams of every round form a state history;
+a post-pass masks output nodes, computes f32 similarities, thresholds, and
+compacts (count + argwhere) so only match tuples leave the device. The
+best-per-(start, end, pattern) reduction runs on the host over those sparse
+tuples (reference src/search.rs:694-736).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: Start positions per device dispatch.
+NCHUNK = 1 << 13
+INT32_MAX = np.int32(2**31 - 1)
+
+
+def _expand(
+    node, j, me, counts, pen,
+    edge_target, edge_class, goto_flat, C, sim_flat,
+    out_count, node_ceil,
+    ids_pad, limit, iota_i,
+    max_pen, p_sub, p_ins, p_del, p_swap, floor, E,
+):
+    """Expand a beam [N, Bc] into candidates [N, Bc*(2D+3)] (fields tuple).
+
+    One reference BFS pop per live slot: generates the exact, substitution,
+    swap, insertion and deletion pushes with all push-time guards applied.
+    """
+    N, Bc = node.shape
+    D = edge_target.shape[1]
+    npad = ids_pad.shape[0]
+
+    alive = node >= 0
+    safe_node = jnp.maximum(node, 0)
+    ins_c = counts & 0xFF
+    del_c = (counts >> 8) & 0xFF
+    sub_c = (counts >> 16) & 0xFF
+    swap_c = (counts >> 24) & 0xFF
+    edits = ins_c + del_c + sub_c + swap_c
+    can_edit = edits < E
+    is_last = can_edit & (edits + 1 >= E)
+
+    pos_j = iota_i[:, None] + j
+    in_text = (pos_j < limit) & alive
+    sym_j = ids_pad[jnp.clip(pos_j, 0, npad - 1)]
+    sym_j = jnp.where(in_text, sym_j, 0)
+    pos_j1 = pos_j + 1
+    in_text2 = (pos_j1 < limit) & alive
+    sym_j1 = ids_pad[jnp.clip(pos_j1, 0, npad - 1)]
+    sym_j1 = jnp.where(in_text2, sym_j1, 0)
+
+    remaining = max_pen - pen
+
+    # Exact transition (src/search.rs:776-798). Class 0 has no edges, so
+    # padded symbols resolve to -1 naturally.
+    exact_next = goto_flat[safe_node * C + sym_j]
+    exact_next = jnp.where(in_text, exact_next, -1)
+
+    # goto from a candidate target on the *next* symbol — shared by the
+    # dead-end filters.
+    def goto_of(nodes, syms, mask):
+        g = goto_flat[jnp.maximum(nodes, 0) * C + syms]
+        return jnp.where(mask & (nodes >= 0), g, -1)
+
+    out0_self = out_count[safe_node] == 0
+
+    fields = ([], [], [], [], [])  # node, j, me, counts, pen
+
+    def push(valid, c_node, c_j, c_me, c_counts, c_pen):
+        # Per-node prune ceiling at pop time (src/search.rs:637-642) — a
+        # candidate that would be pruned next round is dropped now.
+        valid = valid & (c_node >= 0) & ~(c_pen > node_ceil[jnp.maximum(c_node, 0)])
+        fields[0].append(jnp.where(valid, c_node, -1))
+        fields[1].append(c_j)
+        fields[2].append(c_me)
+        fields[3].append(c_counts)
+        fields[4].append(c_pen)
+
+    # 1) exact
+    push(in_text, exact_next, j + 1, j + 1, counts, pen)
+
+    # 2) substitutions over all edges (src/search.rs:803-874)
+    et = edge_target[safe_node]          # [N, Bc, D]
+    ec = edge_class[safe_node]           # [N, Bc, D]
+    sim = sim_flat[ec * C + sym_j[..., None]]
+    pnl = p_sub * (np.float32(1.0) - sim)
+    sub_valid = (
+        in_text[..., None]
+        & can_edit[..., None]
+        & (et >= 0)
+        & (et != exact_next[..., None])
+        & ~(sim < floor)
+        & ~(pnl > remaining[..., None])
+    )
+    # Last-edit dead-end filter (src/search.rs:839-847): child must emit or
+    # advance on text[j+1].
+    child_has_next = goto_of(et, sym_j1[..., None], in_text2[..., None]) >= 0
+    child_out = out_count[jnp.maximum(et, 0)] > 0
+    sub_valid &= ~(is_last[..., None] & ~child_out & ~child_has_next)
+    for d in range(D):
+        push(
+            sub_valid[..., d],
+            et[..., d],
+            j + 1,
+            j + 1,
+            counts + 0x1_0000,
+            pen + pnl[..., d],
+        )
+
+    # 3) swap (src/search.rs:935-989)
+    mid = goto_of(safe_node, sym_j1, in_text2 & alive)
+    node2 = goto_of(mid, sym_j, mid >= 0)
+    swap_valid = in_text2 & (p_swap <= remaining) & can_edit & (node2 >= 0)
+    push(swap_valid, node2, j + 2, j + 2, counts + 0x100_0000, pen + p_swap)
+
+    # 4) insertion (src/search.rs:994-1029)
+    self_has_next = goto_of(safe_node, sym_j1, in_text2 & alive) >= 0
+    ins_valid = (
+        in_text
+        & ((me != 0) | (j != 0))
+        & (p_ins <= remaining)
+        & can_edit
+        & ~(is_last & out0_self & ~self_has_next)
+    )
+    push(ins_valid, node, j + 1, me, counts + 1, pen + p_ins)
+
+    # 5) deletions over all edges (src/search.rs:1035-1089)
+    del_child_next = goto_of(et, sym_j[..., None], in_text[..., None]) >= 0
+    del_valid = (
+        alive[..., None]
+        & can_edit[..., None]
+        & (p_del <= remaining)[..., None]
+        & (et >= 0)
+        & ~(is_last[..., None] & ~child_out & ~del_child_next)
+    )
+    for d in range(D):
+        push(
+            del_valid[..., d],
+            et[..., d],
+            j,
+            me,
+            counts + 0x100,
+            pen + p_del,
+        )
+
+    cat = lambda xs: jnp.concatenate([x.reshape(N, -1) for x in xs], axis=1)
+    return cat(fields[0]), cat(fields[1]), cat(fields[2]), cat(fields[3]), cat(fields[4])
+
+
+def _dedup_compact(c_node, c_j, c_me, c_counts, c_pen, B):
+    """Sort-based dedup to the reference's visited-map semantics, compacted
+    into B slots; returns new beam + per-row overflow flag."""
+    N, M = c_node.shape
+    k_node = jnp.where(c_node >= 0, c_node, INT32_MAX)
+    k_jme = (c_j << 16) | c_me
+    s_node, s_jme, s_counts, s_pen, s_j, s_me = jax.lax.sort(
+        (k_node, k_jme, c_counts, c_pen, c_j, c_me), num_keys=4
+    )
+    alive = s_node != INT32_MAX
+    first = jnp.concatenate(
+        [
+            jnp.ones((N, 1), dtype=bool),
+            (s_node[:, 1:] != s_node[:, :-1])
+            | (s_jme[:, 1:] != s_jme[:, :-1])
+            | (s_counts[:, 1:] != s_counts[:, :-1]),
+        ],
+        axis=1,
+    )
+    keep = alive & first
+    pos = jnp.cumsum(keep, axis=1) - 1
+    overflow = (keep & (pos >= B)).any(axis=1)
+    slot = jnp.where(keep & (pos < B), pos, B)
+
+    def scatter_row(vals, slots, fill):
+        return jnp.full((B,), fill, vals.dtype).at[slots].set(vals, mode="drop")
+
+    scat = jax.vmap(scatter_row, in_axes=(0, 0, None))
+    return (
+        scat(s_node, slot, np.int32(-1)),
+        scat(s_j, slot, np.int32(0)),
+        scat(s_me, slot, np.int32(0)),
+        scat(s_counts, slot, np.int32(0)),
+        scat(s_pen, slot, np.float32(0.0)),
+        overflow,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("B", "T", "E", "K", "KO", "C", "LSPAN"),
+)
+def _fuzzy_scan_kernel(
+    goto_flat,
+    edge_target_full,
+    edge_class_full,
+    edge_target_deep,
+    edge_class_deep,
+    sim_flat,
+    out_count,
+    out_list,
+    pat_len,
+    pat_weight,
+    node_ceil,
+    ids_pad,
+    limit,
+    max_pen,
+    p_sub,
+    p_ins,
+    p_del,
+    p_swap,
+    floor,
+    thr,
+    C,
+    B,
+    T,
+    E,
+    K,
+    KO,
+    LSPAN,
+):
+    N = ids_pad.shape[0] - LSPAN
+    iota_i = jnp.arange(N, dtype=jnp.int32)
+
+    # Round 0: the root state (node 0, j=me=0) — the only round where the
+    # root (with its large degree) is expanded, so it uses the full edge
+    # width while later rounds use the non-root maximum.
+    z = jnp.zeros((N, 1), dtype=jnp.int32)
+    root_beam = (z, z, z, z, jnp.zeros((N, 1), dtype=jnp.float32))
+    cands = _expand(
+        *root_beam,
+        edge_target_full, edge_class_full, goto_flat, C, sim_flat,
+        out_count, node_ceil, ids_pad, limit, iota_i,
+        max_pen, p_sub, p_ins, p_del, p_swap, floor, E,
+    )
+    beam = _dedup_compact(*cands, B)
+    overflow0 = beam[5]
+    beam = beam[:5]
+
+    def round_body(carry, _):
+        b_node, b_j, b_me, b_counts, b_pen = carry
+        cands = _expand(
+            b_node, b_j, b_me, b_counts, b_pen,
+            edge_target_deep, edge_class_deep, goto_flat, C, sim_flat,
+            out_count, node_ceil, ids_pad, limit, iota_i,
+            max_pen, p_sub, p_ins, p_del, p_swap, floor, E,
+        )
+        nb = _dedup_compact(*cands, B)
+        new_beam = nb[:5]
+        return new_beam, (new_beam[0], new_beam[1], new_beam[2], new_beam[3], new_beam[4], nb[5])
+
+    _, hist = jax.lax.scan(round_body, beam, None, length=T - 1)
+    # Histories: prepend round-1 beam (from root expansion).
+    h_node = jnp.concatenate([beam[0][None], hist[0]], axis=0)   # [T, N, B]
+    h_j = jnp.concatenate([beam[1][None], hist[1]], axis=0)
+    h_me = jnp.concatenate([beam[2][None], hist[2]], axis=0)
+    h_counts = jnp.concatenate([beam[3][None], hist[3]], axis=0)
+    h_pen = jnp.concatenate([beam[4][None], hist[4]], axis=0)
+    overflow = overflow0 | hist[5].any(axis=0)                    # [N]
+
+    # Emission post-pass (src/search.rs:659-737): states at output nodes.
+    max_out = out_list.shape[1]
+    e_alive = h_node >= 0
+    safe = jnp.maximum(h_node, 0)
+    pats = out_list[safe]                                         # [T, N, B, max_out]
+    valid = e_alive[..., None] & (pats >= 0)
+    total = pat_len[jnp.maximum(pats, 0)]
+    weight = pat_weight[jnp.maximum(pats, 0)]
+    sim = ((total - h_pen[..., None]) / total) * weight
+    valid &= ~(sim < thr)
+
+    count = valid.sum(dtype=jnp.int32)
+    idx = jnp.argwhere(valid, size=K, fill_value=0).astype(jnp.int32)
+    got = idx[:, 0], idx[:, 1], idx[:, 2], idx[:, 3]
+    in_range = jnp.arange(K) < count
+    em_i = jnp.where(in_range, got[1], -1)
+    em_me = h_me[got[0], got[1], got[2]]
+    em_pat = pats[got[0], got[1], got[2], got[3]]
+    em_sim = sim[got[0], got[1], got[2], got[3]]
+    em_counts = h_counts[got[0], got[1], got[2]]
+
+    ov_count = overflow.sum(dtype=jnp.int32)
+    ov_idx = jnp.argwhere(overflow, size=KO, fill_value=-1).astype(jnp.int32)[:, 0]
+
+    return count, em_i, em_me, em_pat, em_sim, em_counts, ov_count, ov_idx
+
+
+def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> List["FuzzyMatch"]:
+    """Device fuzzy search (FAST-path configs): oracle-identical matches."""
+    from ..structs import FuzzyMatch, f32
+    from ..utils.graphemes import HaystackView
+    from .. import oracle
+
+    dense = engine.dense
+    thr = np.float32(threshold)
+    if view is None:
+        view = HaystackView(haystack, engine.case_insensitive)
+    ids = dense.transcode(haystack, view)
+    n = len(ids)
+    if n == 0:
+        return []
+
+    E = engine.max_edits_fast
+    L_max = dense.max_depth
+    LSPAN = L_max + E
+    T = L_max + E  # rounds; states can exist at rounds 1..T
+
+    ceil = engine.prune_len_arr - np.float32(engine.prune_len_over_weight_arr * thr)
+    max_pen = np.float32(ceil[0])
+    if np.float32(0.0) > max_pen:
+        return []
+
+    # Beam width: generous for the edit budget; overflow falls back per start.
+    B = 32 + 24 * E
+    # Chunk size bounded so the round history stays comfortably in HBM.
+    nchunk = NCHUNK
+    while nchunk > 1024 and nchunk * (T + 1) * B * 20 > 512 * 1024 * 1024:
+        nchunk //= 2
+
+    # Split edge tables: full width for the root round, non-root max for the
+    # steady-state rounds (the root never reappears — no fail links).
+    deg = (dense.edge_target >= 0).sum(axis=1)
+    d_deep = int(deg[1:].max()) if dense.num_nodes > 1 else 1
+    d_deep = max(d_deep, 1)
+
+    goto_flat = jnp.asarray(dense.goto.reshape(-1))
+    et_full = jnp.asarray(dense.edge_target)
+    ec_full = jnp.asarray(dense.edge_class)
+    et_deep = jnp.asarray(dense.edge_target[:, :d_deep])
+    ec_deep = jnp.asarray(dense.edge_class[:, :d_deep])
+    sim_flat = jnp.asarray(dense.sim.reshape(-1))
+    out_count = jnp.asarray(dense.out_count)
+    out_list = jnp.asarray(dense.out_list)
+    pat_len = jnp.asarray(dense.pat_len)
+    pat_weight = jnp.asarray(dense.pat_weight)
+    node_ceil = jnp.asarray(ceil)
+    pens = engine.penalties
+
+    hay_bytes = haystack.encode("utf-8")
+    is_ascii = view.ascii
+    patterns = engine._patterns
+
+    best: dict = {}
+    overflow_starts: list[int] = []
+
+    for c0 in range(0, n, nchunk):
+        chunk_ids = np.zeros(nchunk + LSPAN, dtype=np.int32)
+        src = ids[c0 : min(n, c0 + nchunk + LSPAN)]
+        chunk_ids[: len(src)] = src
+        valid_n = min(nchunk, n - c0)
+        limit = np.int32(n - c0)
+
+        K, KO = 4096, 256
+        while True:
+            out = _fuzzy_scan_kernel(
+                goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+                out_count, out_list, pat_len, pat_weight, node_ceil,
+                jnp.asarray(chunk_ids), limit, max_pen,
+                pens.substitution, pens.insertion, pens.deletion, pens.swap,
+                engine.min_symbol_similarity, thr,
+                dense.num_classes, B, T, E, K, KO, LSPAN,
+            )
+            count, ov_count = int(out[0]), int(out[6])
+            if count <= K and ov_count <= KO:
+                break
+            if count > K:
+                K = 1 << (count - 1).bit_length()
+            if ov_count > KO:
+                KO = 1 << (ov_count - 1).bit_length()
+        _, em_i, em_me, em_pat, em_sim, em_counts, _, ov_idx = out
+        em_i = np.asarray(em_i[:count])
+        em_me = np.asarray(em_me[:count])
+        em_pat = np.asarray(em_pat[:count])
+        em_sim = np.asarray(em_sim[:count])
+        em_counts = np.asarray(em_counts[:count])
+        ov = set(int(x) for x in np.asarray(ov_idx[:ov_count]) if 0 <= int(x) < valid_n)
+
+        for i, me, p, s, cnts in zip(em_i, em_me, em_pat, em_sim, em_counts):
+            i = int(i)
+            if i < 0 or i >= valid_n or i in ov:
+                continue
+            start_g = c0 + i
+            end_g = start_g + int(me)
+            sb = start_g if is_ascii else view.byte_offset(start_g)
+            eb = (
+                end_g
+                if is_ascii
+                else (view.byte_offset(end_g) if end_g < n else len(hay_bytes))
+            )
+            key = (sb, eb, int(p))
+            s = np.float32(s)
+            entry = best.get(key)
+            if entry is None or s > entry[0]:
+                best[key] = (s, int(cnts))
+        overflow_starts.extend(c0 + i for i in ov)
+
+    # Oracle rescue for beam-overflowed starts (exactness guarantee).
+    if overflow_starts:
+        span = engine.max_match_graphemes() + 1
+        for s_g in overflow_starts:
+            sb0 = s_g if is_ascii else view.byte_offset(s_g)
+            e_g = min(n, s_g + span)
+            eb0 = e_g if is_ascii else (view.byte_offset(e_g) if e_g < n else len(hay_bytes))
+            sub = hay_bytes[sb0:eb0].decode("utf-8")
+            for m in oracle.search_raw(engine, sub, threshold, only_first_window=True):
+                key = (sb0 + m.start, sb0 + m.end, m.pattern_index)
+                cnts = (
+                    m.insertions | (m.deletions << 8) | (m.substitutions << 16) | (m.swaps << 24)
+                )
+                entry = best.get(key)
+                if entry is None or m.similarity > entry[0]:
+                    best[key] = (np.float32(m.similarity), cnts)
+
+    results: List[FuzzyMatch] = []
+    for (sb, eb, p), (s, cnts) in best.items():
+        ins_c = cnts & 0xFF
+        del_c = (cnts >> 8) & 0xFF
+        sub_c = (cnts >> 16) & 0xFF
+        swap_c = (cnts >> 24) & 0xFF
+        results.append(
+            FuzzyMatch(
+                insertions=ins_c,
+                deletions=del_c,
+                substitutions=sub_c,
+                swaps=swap_c,
+                edits=ins_c + del_c + sub_c + swap_c,
+                pattern_index=p,
+                pattern=patterns[p],
+                start=sb,
+                end=eb,
+                similarity=s,
+                text=hay_bytes[sb:eb].decode("utf-8"),
+            )
+        )
+    return results

@@ -82,9 +82,15 @@ def _node_limits(engine, node: int) -> Optional[FuzzyLimits]:
     return engine._patterns[pi].limits
 
 
-def search_raw(engine, haystack: str, similarity_threshold: float) -> list[FuzzyMatch]:
+def search_raw(
+    engine, haystack: str, similarity_threshold: float, only_first_window: bool = False
+) -> list[FuzzyMatch]:
     """Core fuzzy search producing raw best-per-span matches
     (reference src/search.rs:187-395 -> 418-1119).
+
+    ``only_first_window`` restricts the outer loop to start position 0 — used
+    by the device path's beam-overflow rescue, where a single start window is
+    re-searched on the host.
 
     Raises :class:`HaystackTooLarge` if the haystack has more than ``u32::MAX``
     grapheme clusters (reference src/search.rs:198-202).
@@ -147,7 +153,8 @@ def search_raw(engine, haystack: str, similarity_threshold: float) -> list[Fuzzy
     hay_bytes = haystack.encode("utf-8")
     hay_byte_len = len(hay_bytes)
 
-    for start0 in range(text_len):
+    start_range = range(1) if only_first_window else range(text_len)
+    for start0 in start_range:
         if window_skip is not None:
             ch = text_chars[start0]
             ch_idx = ord(ch)

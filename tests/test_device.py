@@ -1,0 +1,162 @@
+"""Device-path conformance: the TPU kernels must reproduce the host oracle
+exactly (SURVEY §7 differential-gating; pattern of reference
+src/prefilter.rs:437-529's differential fuzz, applied device-vs-oracle)."""
+
+import numpy as np
+import pytest
+
+import fuzzy_aho_corasick_tpu.ops.fuzzy as fuzzy_mod
+from fuzzy_aho_corasick_tpu import (
+    FuzzyAhoCorasickBuilder,
+    FuzzyLimits,
+    FuzzyPenalties,
+    Pattern,
+    SearchOptions,
+)
+
+# Small dispatch chunks keep per-shape compiles fast in CI.
+fuzzy_mod.NCHUNK = 512
+
+
+class Rng:
+    def __init__(self, seed):
+        self.s = seed & 0xFFFFFFFFFFFFFFFF
+
+    def next(self):
+        x = self.s
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+        self.s = x
+        return x
+
+
+def full_key(m):
+    return (
+        m.start, m.end, m.pattern_index, float(np.float32(m.similarity)),
+        m.edits, m.insertions, m.deletions, m.substitutions, m.swaps,
+    )
+
+
+def span_key(m):
+    """Tie-level edit breakdowns may differ between backends when two edit
+    paths produce bit-equal similarity; the match tuple itself may not."""
+    return (m.start, m.end, m.pattern_index, float(np.float32(m.similarity)))
+
+
+def compare(engine, hay, thr, key=full_key):
+    engine.backend = "oracle"
+    a = sorted(map(key, engine.search_raw(hay, thr)))
+    engine.backend = "device"
+    assert engine._device_engine().supports(hay), "config should be device-eligible"
+    b = sorted(map(key, engine.search_raw(hay, thr)))
+    engine.backend = "auto"
+    assert a == b, f"device/oracle mismatch thr={thr} hay={hay!r}\n  oracle={a}\n  device={b}"
+
+
+def test_exact_device_parity():
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(
+        ["hello", "world", "JOINT STOCK COMPANY", "STOCK", ("weighty", 0.4)]
+    )
+    for thr in [0.0, 0.39999, 0.4, 0.8, 1.0]:
+        compare(engine, "hello WORLD the JOINT STOCK COMPANY of stock weighty", thr)
+
+
+def test_exact_device_parity_unicode():
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(["café", "Ωμέγα"])
+    compare(engine, "un CAFÉ et ωμέγα voilà", 0.5)
+
+
+def test_fuzzy_device_parity_basic():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["hello", "world"])
+    )
+    for thr in [0.5, 0.8, 0.9]:
+        compare(engine, "helllo wolrd and hxllo worl hello", thr)
+
+
+def test_fuzzy_device_parity_e2():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .build(["saddam", "hussein"])
+    )
+    for thr in [0.5, 0.7]:
+        compare(engine, "saddamhusein and sadammhussien", thr, key=span_key)
+
+
+def test_fuzzy_device_weights_and_floor():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .min_symbol_similarity(0.3)
+        .build([("vestibulum", 1.0), ("lorem", 1.5)])
+    )
+    for thr in [0.4, 0.8]:
+        compare(engine, "vxstibulum vestibulom l0rem lorem", thr)
+
+
+def test_fuzzy_device_custom_penalties():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .penalties(FuzzyPenalties.default().with_insertion(0.3).with_deletion(0.6).with_swap(0.2))
+        .build(["pattern", "matcher"])
+    )
+    compare(engine, "patern matcchr pattren", 0.5, key=span_key)
+
+
+def test_fuzzy_device_fuzz():
+    """Randomized differential device-vs-oracle (reduced-size CI variant)."""
+    rng = Rng(0xFACADE)
+    vocab = ["hello", "world", "help", "shell", "yellow", "cell"]
+    filler = ["a", "b", "e", "h", "l", "o", " ", "0", "1"]
+    # Single engine shape -> one kernel compile.
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(vocab)
+    )
+    for trial in range(15):
+        length = 5 + rng.next() % 40
+        hay = []
+        for _ in range(length):
+            if rng.next() % 6 == 0:
+                hay.append(vocab[rng.next() % len(vocab)])
+            else:
+                hay.append(filler[rng.next() % len(filler)])
+        hay = "".join(hay)
+        thr = 0.5 + (rng.next() % 5) * 0.1
+        compare(engine, hay, thr, key=span_key)
+
+
+def test_device_eligibility_fallbacks():
+    """Configs outside the kernel envelope must quietly use the oracle."""
+    mapped = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .mapping("ae", "æ")
+        .build(["caesar"])
+    )
+    assert not mapped._device_engine().supports("caesar")
+    assert len(mapped.search("cæsar", SearchOptions.new().with_threshold(0.9))) == 1
+
+    per_type = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().substitutions(1))
+        .build(["abc"])
+    )
+    assert not per_type._device_engine().supports("abc")
+
+    beamed = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .beam_width(10)
+        .build(["abc"])
+    )
+    assert not beamed._device_engine().supports("abc")
