@@ -1,0 +1,84 @@
+"""Benchmark: exact + edits=1 fuzzy scan throughput on the real chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric is bytes/s/chip of the end-to-end device search (transcode on
+host + anchored scan kernels on device) over an ASCII corpus seeded with
+needles, per BASELINE.json's "bytes/s/chip (exact + edits=1 fuzzy scan)".
+``vs_baseline`` is measured against the driver target of 10 GB/s aggregate on
+a v5p-16 (16 chips) -> 625 MB/s per chip (the reference itself publishes no
+absolute numbers — BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_corpus(size_bytes: int) -> str:
+    rng = np.random.default_rng(42)
+    filler_words = [
+        "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
+        "elit", "vestibulum", "eros", "commodo", "accumsan", "porta", "orci",
+    ]
+    needles = ["tincidunt", "phaetra", "sollicitudin"]
+    parts = []
+    size = 0
+    while size < size_bytes:
+        w = filler_words[int(rng.integers(len(filler_words)))]
+        if rng.integers(997) == 0:
+            w = needles[int(rng.integers(len(needles)))]
+        parts.append(w)
+        size += len(w) + 1
+    return " ".join(parts)
+
+
+def main():
+    import jax
+
+    sys.path.insert(0, ".")
+    from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
+
+    dictionary = [
+        "tincidunt", "phaetra", "sollicitudin", "venenatis", "fringilla",
+        "ullamcorper", "pellentesque", "sagittis", "condimentum", "habitasse",
+        "malesuada", "scelerisque", "imperdiet", "vulputate", "ridiculus",
+        "parturient",
+    ]
+
+    corpus_mb = 32
+    corpus = build_corpus(corpus_mb << 20)
+    nbytes = len(corpus)
+
+    # --- exact scan -------------------------------------------------------
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(dictionary)
+    engine.backend = "device"
+    t0 = time.time()
+    m1 = engine.search_raw(corpus, 0.5)  # includes compile
+    compile_s = time.time() - t0
+    t0 = time.time()
+    m1 = engine.search_raw(corpus, 0.5)
+    exact_s = time.time() - t0
+    exact_bps = nbytes / exact_s
+
+    result = {
+        "metric": "exact_scan_bytes_per_s_per_chip",
+        "value": round(exact_bps),
+        "unit": "bytes/s",
+        # Driver target: 10 GB/s aggregate on v5p-16 (16 chips).
+        "vs_baseline": round(exact_bps / (10e9 / 16), 4),
+        "detail": {
+            "corpus_bytes": nbytes,
+            "matches": len(m1),
+            "compile_s": round(compile_s, 1),
+            "steady_s": round(exact_s, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
