@@ -62,6 +62,15 @@ def bitap_windows_auto(
     mask: np.ndarray, m: int, k: int, ids: np.ndarray, out: List[Tuple[int, int]]
 ) -> None:
     """Pick the fastest applicable implementation (same output set)."""
+    from ..utils import native
+
+    hits = native.bitap_scan_hits(mask, m, k, ids)
+    if hits is not None:
+        span = m + k
+        for e in np.nonzero(hits)[0]:
+            end = int(e) + 1
+            out.append((max(end - span, 0), end))
+        return
     if len(ids) > 8192:
         bitap_windows_chunked(mask, m, k, ids, out)
     else:

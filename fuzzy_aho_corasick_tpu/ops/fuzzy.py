@@ -225,7 +225,7 @@ def _dedup_compact(c_node, c_j, c_me, c_counts, c_pen, B):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("B", "T", "E", "K", "KO", "C", "LSPAN"),
+    static_argnames=("B", "T", "E", "K", "KO", "C"),
 )
 def _fuzzy_scan_kernel(
     goto_flat,
@@ -240,6 +240,7 @@ def _fuzzy_scan_kernel(
     pat_weight,
     node_ceil,
     ids_pad,
+    starts,
     limit,
     max_pen,
     p_sub,
@@ -254,10 +255,12 @@ def _fuzzy_scan_kernel(
     E,
     K,
     KO,
-    LSPAN,
 ):
-    N = ids_pad.shape[0] - LSPAN
-    iota_i = jnp.arange(N, dtype=jnp.int32)
+    """One chunk of candidate start positions against the (device-resident)
+    corpus: ``starts`` [N] are global grapheme indices (anchors); the corpus
+    ``ids_pad`` carries an LSPAN zero tail so every anchor has full context."""
+    N = starts.shape[0]
+    iota_i = starts
 
     # Round 0: the root state (node 0, j=me=0) — the only round where the
     # root (with its large degree) is expanded, so it uses the full edge
@@ -322,6 +325,63 @@ def _fuzzy_scan_kernel(
     return count, em_i, em_me, em_pat, em_sim, em_counts, ov_count, ov_idx
 
 
+#: Below this corpus size the bitap pre-pass isn't worth its transcode.
+FILTER_MIN_N = 1 << 14
+#: The per-pattern bitap pre-pass is linear in pattern count; beyond this the
+#: seed-partition filter (future stage) takes over and we scan all anchors.
+FILTER_MAX_PATTERNS = 64
+
+
+def _candidate_starts(engine, haystack, view, ids, thr) -> np.ndarray:
+    """Anchor positions that can possibly start a match, via the bit-parallel
+    prefilter when reducible (conservative superset — identical final results;
+    soundness argument at reference src/prefilter.rs:10-21). Falls back to
+    every position."""
+    n = len(ids)
+    every = np.arange(n, dtype=np.int32)
+    if n < FILTER_MIN_N or len(engine._patterns) > FILTER_MAX_PATTERNS:
+        return every
+
+    from ..prefilter import BitapFilter
+
+    filt = getattr(engine, "_bitap_filter_cache", None)
+    if filt is None:
+        filt = BitapFilter.build(engine)
+        engine._bitap_filter_cache = filt if filt is not None else False
+    if filt is False or filt is None:
+        return every
+
+    ks = []
+    for bp in filt.patterns:
+        k = filt.k_for(bp, thr)
+        if k is None:
+            return every
+        ks.append(k)
+
+    from ..utils import native
+
+    bids, _offsets = filt.transcode(haystack)
+    flags = np.zeros(n + 1, dtype=np.int64)
+    for bp, k in zip(filt.patterns, ks):
+        hits = native.bitap_scan_hits(bp.mask, bp.m, k, bids)
+        span = bp.m + k
+        if hits is None:
+            from .bitap import bitap_windows_chunked
+
+            wins: list = []
+            bitap_windows_chunked(bp.mask, bp.m, k, bids, wins)
+            for s, e in wins:
+                flags[s] += 1
+                flags[min(e, n)] -= 1
+        else:
+            ends = np.nonzero(hits)[0] + 1
+            starts_w = np.maximum(ends - span, 0)
+            np.add.at(flags, starts_w, 1)
+            np.add.at(flags, np.minimum(ends, n), -1)
+    covered = np.cumsum(flags[:n]) > 0
+    return np.nonzero(covered)[0].astype(np.int32)
+
+
 def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> List["FuzzyMatch"]:
     """Device fuzzy search (FAST-path configs): oracle-identical matches."""
     from ..structs import FuzzyMatch, f32
@@ -380,22 +440,33 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     best: dict = {}
     overflow_starts: list[int] = []
 
-    for c0 in range(0, n, nchunk):
-        chunk_ids = np.zeros(nchunk + LSPAN, dtype=np.int32)
-        src = ids[c0 : min(n, c0 + nchunk + LSPAN)]
-        chunk_ids[: len(src)] = src
-        valid_n = min(nchunk, n - c0)
-        limit = np.int32(n - c0)
+    # Candidate anchors: every position, or the bitap-filtered subset for
+    # large corpora (identical results — the filter is a conservative
+    # over-approximation, reference src/prefilter.rs:1-23).
+    cand = _candidate_starts(engine, haystack, view, ids, thr)
+
+    # Corpus resident on device with an LSPAN dead tail; length bucketed to
+    # powers of two to bound recompiles.
+    padded_len = max(1024, 1 << int(np.ceil(np.log2(n + LSPAN))))
+    ids_full = np.zeros(padded_len, dtype=np.int32)
+    ids_full[:n] = ids
+    ids_dev = jnp.asarray(ids_full)
+    limit = np.int32(n)
+
+    for c0 in range(0, len(cand), nchunk):
+        starts_chunk = np.full(nchunk, n, dtype=np.int32)  # pad anchors = dead
+        src = cand[c0 : c0 + nchunk]
+        starts_chunk[: len(src)] = src
 
         K, KO = 4096, 256
         while True:
             out = _fuzzy_scan_kernel(
                 goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
                 out_count, out_list, pat_len, pat_weight, node_ceil,
-                jnp.asarray(chunk_ids), limit, max_pen,
+                ids_dev, jnp.asarray(starts_chunk), limit, max_pen,
                 pens.substitution, pens.insertion, pens.deletion, pens.swap,
                 engine.min_symbol_similarity, thr,
-                dense.num_classes, B, T, E, K, KO, LSPAN,
+                dense.num_classes, B, T, E, K, KO,
             )
             count, ov_count = int(out[0]), int(out[6])
             if count <= K and ov_count <= KO:
@@ -410,13 +481,17 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
         em_pat = np.asarray(em_pat[:count])
         em_sim = np.asarray(em_sim[:count])
         em_counts = np.asarray(em_counts[:count])
-        ov = set(int(x) for x in np.asarray(ov_idx[:ov_count]) if 0 <= int(x) < valid_n)
+        ov_local = set(
+            int(x) for x in np.asarray(ov_idx[:ov_count]) if 0 <= int(x) < len(src)
+        )
 
         for i, me, p, s, cnts in zip(em_i, em_me, em_pat, em_sim, em_counts):
             i = int(i)
-            if i < 0 or i >= valid_n or i in ov:
+            if i < 0 or i >= len(src) or i in ov_local:
                 continue
-            start_g = c0 + i
+            start_g = int(starts_chunk[i])
+            if start_g >= n:
+                continue
             end_g = start_g + int(me)
             sb = start_g if is_ascii else view.byte_offset(start_g)
             eb = (
@@ -429,7 +504,7 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
             entry = best.get(key)
             if entry is None or s > entry[0]:
                 best[key] = (s, int(cnts))
-        overflow_starts.extend(c0 + i for i in ov)
+        overflow_starts.extend(int(starts_chunk[i]) for i in ov_local)
 
     # Oracle rescue for beam-overflowed starts (exactness guarantee).
     if overflow_starts:

@@ -1,0 +1,97 @@
+"""ctypes loader for the native host fast paths (native/fastpath.c).
+
+Compiles the shared object on first use (gcc -O3, cached next to the source);
+every entry point has a NumPy fallback so the package works without a
+toolchain. See native/fastpath.c for what each routine replaces.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(here, "native", "fastpath.c")
+    so = os.path.join(here, "native", "fastpath.so")
+    try:
+        if (not os.path.exists(so)) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["gcc", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so + ".tmp"],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            os.replace(so + ".tmp", so)
+        lib = ctypes.CDLL(so)
+    except Exception:
+        return None
+    i64 = ctypes.c_int64
+    i32 = ctypes.c_int32
+    p8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    p64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.transcode_u8.argtypes = [p8, i64, p8, p8]
+    lib.transcode_i32.argtypes = [p8, i64, p32, p32]
+    lib.bitap_scan.argtypes = [p64, i32, i32, p8, i64, p64, p64, p8]
+    return lib
+
+
+def lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        with _LOCK:
+            if not _TRIED:
+                _LIB = _build_and_load()
+                _TRIED = True
+    return _LIB
+
+
+def transcode_bytes_u8(data: bytes, table: np.ndarray) -> np.ndarray:
+    """Byte stream -> uint8 symbol ids via a 256-entry uint8 table."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(len(raw), dtype=np.uint8)
+    L = lib()
+    if L is not None:
+        L.transcode_u8(raw, len(raw), np.ascontiguousarray(table), out)
+    else:
+        out[:] = table[raw]
+    return out
+
+
+def transcode_bytes_i32(data: bytes, table: np.ndarray) -> np.ndarray:
+    """Byte stream -> int32 symbol ids via a 256-entry int32 table."""
+    raw = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(len(raw), dtype=np.int32)
+    L = lib()
+    if L is not None:
+        L.transcode_i32(raw, len(raw), np.ascontiguousarray(table, dtype=np.int32), out)
+    else:
+        out[:] = table[raw]
+    return out
+
+
+def bitap_scan_hits(mask: np.ndarray, m: int, k: int, ids: np.ndarray) -> Optional[np.ndarray]:
+    """Native shift-AND scan -> uint8 hit flags per position, or None when the
+    native library is unavailable."""
+    L = lib()
+    if L is None:
+        return None
+    ids8 = np.ascontiguousarray(ids, dtype=np.uint8)
+    r = np.array([(1 << d) - 1 for d in range(k + 1)], dtype=np.uint64)
+    nr = np.zeros(k + 1, dtype=np.uint64)
+    hit = np.empty(len(ids8), dtype=np.uint8)
+    L.bitap_scan(
+        np.ascontiguousarray(mask, dtype=np.uint64), m, k, ids8, len(ids8), r, nr, hit
+    )
+    return hit

@@ -160,3 +160,26 @@ def test_device_eligibility_fallbacks():
         .build(["abc"])
     )
     assert not beamed._device_engine().supports("abc")
+
+
+def test_fuzzy_device_filtered_large_input():
+    """Corpus above FILTER_MIN_N routes through the bitap anchor filter; the
+    result set must be unchanged."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["needle", "anchor"])
+    )
+    filler = "the quick brown fox jumps over the lazy dog "
+    parts = []
+    for i in range(500):
+        parts.append(filler[: 20 + (i * 7) % 24])
+        parts.append(["needle", "anchro", "nedle", "xxxxx"][i % 4])
+    hay = " ".join(parts)
+    assert len(hay) > fuzzy_mod.FILTER_MIN_N
+    cand = fuzzy_mod._candidate_starts(
+        engine, hay, None, engine.dense.transcode(hay), np.float32(0.8)
+    )
+    assert 0 < len(cand) < len(hay), "filter should prune most anchors"
+    compare(engine, hay, 0.8, key=span_key)
