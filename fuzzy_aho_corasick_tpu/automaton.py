@@ -100,6 +100,10 @@ class FuzzyAhoCorasick:
             self._device = DeviceEngine(self)
         return self._device
 
+    #: Below this haystack size the 'auto' backend stays on the host oracle —
+    #: a device dispatch (plus possible compile) costs more than the scan.
+    AUTO_DEVICE_MIN = 1 << 14
+
     # ------------------------------------------------------------------
     def search_raw(self, haystack: str, threshold: float) -> List[FuzzyMatch]:
         """Raw best-per-span matches (reference src/search.rs:187).
@@ -109,6 +113,8 @@ class FuzzyAhoCorasick:
         overflow).
         """
         if self.backend == "oracle":
+            return oracle.search_raw(self, haystack, threshold)
+        if self.backend == "auto" and len(haystack) < self.AUTO_DEVICE_MIN:
             return oracle.search_raw(self, haystack, threshold)
         dev = self._device_engine()
         if dev.supports(haystack):
