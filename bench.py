@@ -2,15 +2,17 @@
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Headline metric is bytes/s/chip of the end-to-end device search (transcode on
-host + anchored scan kernels on device) over an ASCII corpus seeded with
-needles, per BASELINE.json's "bytes/s/chip (exact + edits=1 fuzzy scan)".
+Headline metric is bytes/s/chip of the end-to-end device search (native-C
+transcode on host + anchored scan kernels on device) over an ASCII corpus
+seeded with needles, per BASELINE.json's "bytes/s/chip (exact + edits=1
+fuzzy scan)": combined = total bytes / (exact time + fuzzy time).
 ``vs_baseline`` is measured against the driver target of 10 GB/s aggregate on
 a v5p-16 (16 chips) -> 625 MB/s per chip (the reference itself publishes no
 absolute numbers — BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -38,7 +40,7 @@ def build_corpus(size_bytes: int) -> str:
 def main():
     import jax
 
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
 
     dictionary = [
@@ -48,34 +50,49 @@ def main():
         "parturient",
     ]
 
-    corpus_mb = 32
+    corpus_mb = int(os.environ.get("BENCH_MB", "32"))
     corpus = build_corpus(corpus_mb << 20)
     nbytes = len(corpus)
+
+    detail = {"corpus_bytes": nbytes, "device": str(jax.devices()[0])}
 
     # --- exact scan -------------------------------------------------------
     engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(dictionary)
     engine.backend = "device"
     t0 = time.time()
     m1 = engine.search_raw(corpus, 0.5)  # includes compile
-    compile_s = time.time() - t0
+    detail["exact_compile_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     m1 = engine.search_raw(corpus, 0.5)
     exact_s = time.time() - t0
-    exact_bps = nbytes / exact_s
+    detail["exact_bps"] = round(nbytes / exact_s)
+    detail["exact_matches"] = len(m1)
 
+    # --- fuzzy edits=1 scan -----------------------------------------------
+    fengine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(dictionary)
+    )
+    fengine.backend = "device"
+    t0 = time.time()
+    m2 = fengine.search_raw(corpus, 0.8)
+    detail["fuzzy_compile_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    m2 = fengine.search_raw(corpus, 0.8)
+    fuzzy_s = time.time() - t0
+    detail["fuzzy_bps"] = round(nbytes / fuzzy_s)
+    detail["fuzzy_matches"] = len(m2)
+
+    combined = 2 * nbytes / (exact_s + fuzzy_s)
     result = {
-        "metric": "exact_scan_bytes_per_s_per_chip",
-        "value": round(exact_bps),
+        "metric": "scan_bytes_per_s_per_chip_exact_plus_fuzzy1",
+        "value": round(combined),
         "unit": "bytes/s",
         # Driver target: 10 GB/s aggregate on v5p-16 (16 chips).
-        "vs_baseline": round(exact_bps / (10e9 / 16), 4),
-        "detail": {
-            "corpus_bytes": nbytes,
-            "matches": len(m1),
-            "compile_s": round(compile_s, 1),
-            "steady_s": round(exact_s, 3),
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(combined / (10e9 / 16), 4),
+        "detail": detail,
     }
     print(json.dumps(result))
 

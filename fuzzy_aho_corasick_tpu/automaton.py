@@ -236,3 +236,17 @@ class FuzzyAhoCorasick:
             bits.append("case_insensitive=True")
         bits.append(f"patterns={[p.pattern for p in self._patterns]!r}")
         return f"FuzzyAhoCorasick({', '.join(bits)})"
+
+
+def _attach_serialization():
+    from . import serialize as _ser
+
+    def save(self, path: str) -> None:
+        """Serialize the compiled automaton (see serialize.save)."""
+        _ser.save(self, path)
+
+    FuzzyAhoCorasick.save = save
+    FuzzyAhoCorasick.load = staticmethod(_ser.load)
+
+
+_attach_serialization()
