@@ -41,14 +41,16 @@ SURV_FRAC_DEFAULT = 8  # chunk // SURV_FRAC survivors
 K_DEFAULT = 1 << 13
 
 
-@functools.partial(jax.jit, static_argnames=("C", "L", "K", "S"))
-def _exact_scan_rows(goto_flat, C, out_count, root_planes, ids_rows, L, K, S):
-    """All rows in one dispatch.
+@functools.partial(jax.jit, static_argnames=("C", "L", "K", "S", "KG"))
+def _exact_scan_rows(goto_flat, C, out_count, root_planes, ids_rows, L, K, S, KG):
+    """All rows in one dispatch, globally compacted output.
 
-    ids_rows [R, N + L] -> per-row (surv_count, count, idx [K, 2], nodes [K])
-    where idx rows are (step t, local position i): the walk from start ``i``
-    reached an output node after consuming ``t + 1`` symbols.
-    ``surv_count`` > S signals survivor-capacity overflow for the row.
+    ids_rows [R, N + L] -> (surv_counts [R], counts [R], total, packed
+    [KG, 3]) where a packed row is (global position, step t, node): the walk
+    from global start ``pos`` reached output node ``node`` after consuming
+    ``t + 1`` symbols. Only the KG-entry packed buffer crosses the host link
+    (device->host bandwidth is the scarce resource on tunneled rigs).
+    ``surv_counts`` > S / ``total`` > KG signal capacity overflow.
 
     ``root_planes`` [3, C] holds the root goto row split into uint8 planes
     (lo/mid/hi bytes of target+1, 0 = dead) so the one-hot matmuls stay exact
@@ -101,7 +103,28 @@ def _exact_scan_rows(goto_flat, C, out_count, root_planes, ids_rows, L, K, S):
         packed = jnp.stack([idx[:, 0], pos], axis=1)
         return surv_count, count, packed, nodes
 
-    return jax.lax.map(row_fn, ids_rows)
+    surv_counts, counts, idx_rows, node_rows = jax.lax.map(row_fn, ids_rows)
+
+    # Global compaction: per-row padded buffers -> one tight [KG, 3] buffer
+    # of (global_pos, t, node), so readback bytes track the real match count.
+    R = ids_rows.shape[0]
+    row_base = (jnp.arange(R, dtype=jnp.int32) * N)[:, None]
+    gpos = jnp.where(idx_rows[:, :, 1] >= 0, row_base + idx_rows[:, :, 1], -1).reshape(-1)
+    t_flat = idx_rows[:, :, 0].reshape(-1)
+    node_flat = node_rows.reshape(-1)
+    valid = gpos >= 0
+    total = valid.sum(dtype=jnp.int32)
+    take = jnp.argwhere(valid, size=KG, fill_value=-1).astype(jnp.int32)[:, 0]
+    tk = jnp.maximum(take, 0)
+    packed = jnp.stack(
+        [
+            jnp.where(take >= 0, gpos[tk], -1),
+            jnp.where(take >= 0, t_flat[tk], -1),
+            jnp.where(take >= 0, node_flat[tk], -1),
+        ],
+        axis=1,
+    )
+    return surv_counts, counts, total, packed
 
 
 def _rows_of(ids: np.ndarray, chunk: int, halo: int, dtype) -> np.ndarray:
@@ -156,22 +179,25 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
 
     K = K_DEFAULT
     S = max(chunk // SURV_FRAC_DEFAULT, 1024)
+    KG = 1 << 13
     while True:
-        surv, counts, idx, nodes = _exact_scan_rows(
-            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S
+        surv, counts, total, packed = _exact_scan_rows(
+            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S, KG
         )
         surv = np.asarray(surv)
         counts = np.asarray(counts)
         smax = int(surv.max(initial=0))
         cmax = int(counts.max(initial=0))
-        if smax <= S and cmax <= K:
+        tot = int(total)
+        if smax <= S and cmax <= K and tot <= KG:
             break
         if smax > S:
             S = 1 << (smax - 1).bit_length()
         if cmax > K:
             K = 1 << (cmax - 1).bit_length()
-    idx = np.asarray(idx)
-    nodes = np.asarray(nodes)
+        if tot > KG:
+            KG = 1 << (tot - 1).bit_length()
+    packed = np.asarray(packed[:tot])
 
     hay_bytes = haystack.encode("utf-8")
     is_ascii = view.ascii
@@ -181,41 +207,105 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
     patterns = engine._patterns
 
     results: List[FuzzyMatch] = []
-    for r in range(ids_rows.shape[0]):
-        base = r * chunk
-        valid_n = min(chunk, n - base)
-        for k in range(int(counts[r])):
-            t, i = idx[r, k]
-            if i < 0 or i >= valid_n:
-                continue  # halo start owned by the next row
-            node = nodes[r, k]
-            start_g = base + int(i)
-            end_g = start_g + int(t) + 1
-            if end_g > n:
+    for gpos, t, node in packed:
+        start_g = int(gpos)
+        # Per-row halo starts belong to the next row; global position is
+        # base + local i, so halo duplicates appear as start >= n row overlap.
+        row, local = divmod(start_g, chunk)
+        if local >= min(chunk, n - row * chunk):
+            continue
+        end_g = start_g + int(t) + 1
+        if start_g >= n or end_g > n:
+            continue
+        for p in out_patterns[out_start[node] : out_start[node + 1]]:
+            sim = np.float32(pat_weight[p])
+            if sim < thr:
                 continue
-            for p in out_patterns[out_start[node] : out_start[node + 1]]:
-                sim = np.float32(pat_weight[p])
-                if sim < thr:
-                    continue
-                sb = start_g if is_ascii else view.byte_offset(start_g)
-                eb = (
-                    end_g
-                    if is_ascii
-                    else (view.byte_offset(end_g) if end_g < n else len(hay_bytes))
+            sb = start_g if is_ascii else view.byte_offset(start_g)
+            eb = (
+                end_g
+                if is_ascii
+                else (view.byte_offset(end_g) if end_g < n else len(hay_bytes))
+            )
+            results.append(
+                FuzzyMatch(
+                    insertions=0,
+                    deletions=0,
+                    substitutions=0,
+                    swaps=0,
+                    edits=0,
+                    pattern_index=int(p),
+                    pattern=patterns[p],
+                    start=sb,
+                    end=eb,
+                    similarity=sim,
+                    text=hay_bytes[sb:eb].decode("utf-8"),
                 )
-                results.append(
-                    FuzzyMatch(
-                        insertions=0,
-                        deletions=0,
-                        substitutions=0,
-                        swaps=0,
-                        edits=0,
-                        pattern_index=int(p),
-                        pattern=patterns[p],
-                        start=sb,
-                        end=eb,
-                        similarity=sim,
-                        text=hay_bytes[sb:eb].decode("utf-8"),
-                    )
-                )
+            )
     return results
+
+
+def exact_scan_hits(engine, haystack: str, view=None):
+    """Raw exact hits as numpy arrays (grapheme-indexed): (starts, pattern_ids).
+
+    Threshold-0 variant of :func:`exact_search_device` used by the seed
+    filter — no byte-offset mapping, no FuzzyMatch construction.
+    """
+    from ..utils.graphemes import HaystackView
+
+    dense = engine.dense
+    if view is None:
+        view = HaystackView(haystack, engine.case_insensitive)
+    ids = dense.transcode(haystack, view)
+    n = len(ids)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    goto = dense.goto
+    enc = (goto[0] + 1).astype(np.int64)
+    root_planes = np.stack(
+        [enc & 0xFF, (enc >> 8) & 0xFF, (enc >> 16) & 0xFF]
+    ).astype(np.float32)
+
+    L = max(dense.max_depth, 1)
+    chunk = min(CHUNK, 1 << max(10, (n - 1).bit_length()))
+    dtype = np.uint8 if dense.num_classes <= 256 else np.int32
+    ids_rows = _rows_of(ids, chunk, L, dtype)
+
+    goto_flat = jnp.asarray(goto.reshape(-1))
+    out_count = jnp.asarray(dense.out_count)
+    root_planes_j = jnp.asarray(root_planes)
+    C = dense.num_classes
+
+    K, S, KG = K_DEFAULT, max(chunk // SURV_FRAC_DEFAULT, 1024), 1 << 14
+    while True:
+        surv, counts, total, packed = _exact_scan_rows(
+            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S, KG
+        )
+        smax = int(np.asarray(surv).max(initial=0))
+        cmax = int(np.asarray(counts).max(initial=0))
+        tot = int(total)
+        if smax <= S and cmax <= K and tot <= KG:
+            break
+        if smax > S:
+            S = 1 << (smax - 1).bit_length()
+        if cmax > K:
+            K = 1 << (cmax - 1).bit_length()
+        if tot > KG:
+            KG = 1 << (tot - 1).bit_length()
+    packed = np.asarray(packed[:tot]).astype(np.int64)
+
+    if tot == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    gpos, _t, nodes = packed[:, 0], packed[:, 1], packed[:, 2]
+    keep = gpos < n
+    # Drop last-row padding starts (positions past n are zero-padded/dead).
+    gpos, nodes = gpos[keep], nodes[keep]
+    # Expand per-node output lists (usually singletons).
+    out_start, out_patterns = dense.out_start, dense.out_patterns
+    reps = (out_start[nodes + 1] - out_start[nodes]).astype(np.int64)
+    starts = np.repeat(gpos, reps)
+    pids = np.concatenate(
+        [out_patterns[out_start[nd] : out_start[nd + 1]] for nd in nodes]
+    ) if len(nodes) else np.zeros(0, np.int64)
+    return starts, pids.astype(np.int64)

@@ -339,8 +339,21 @@ def _candidate_starts(engine, haystack, view, ids, thr) -> np.ndarray:
     every position."""
     n = len(ids)
     every = np.arange(n, dtype=np.int32)
-    if n < FILTER_MIN_N or len(engine._patterns) > FILTER_MAX_PATTERNS:
+    if n < FILTER_MIN_N:
         return every
+
+    # Large dictionaries: the per-pattern bitap pass doesn't scale; use the
+    # seed-partition filter (one exact-kernel pass over the piece automaton).
+    if len(engine._patterns) > FILTER_MAX_PATTERNS:
+        from .seeds import SeedFilter
+
+        sf = getattr(engine, "_seed_filter_cache", None)
+        if sf is None:
+            sf = SeedFilter.build(engine)
+            engine._seed_filter_cache = sf if sf is not None else False
+        if sf is False or sf is None:
+            return every
+        return sf.candidate_starts(haystack, n)
 
     from ..prefilter import BitapFilter
 

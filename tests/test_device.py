@@ -183,3 +183,38 @@ def test_fuzzy_device_filtered_large_input():
     )
     assert 0 < len(cand) < len(hay), "filter should prune most anchors"
     compare(engine, hay, 0.8, key=span_key)
+
+
+def test_fuzzy_device_seed_filter_1k_dictionary():
+    """Large dictionaries route through the seed-partition filter; results
+    must equal the oracle."""
+    rng = Rng(0x5EED)
+    alphabet = "abcdefghijklmnop"
+    words = []
+    for i in range(300):
+        m = 6 + rng.next() % 6
+        words.append("".join(alphabet[rng.next() % len(alphabet)] for _ in range(m)))
+    words = sorted(set(words))
+    assert len(words) > fuzzy_mod.FILTER_MAX_PATTERNS
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(words)
+    )
+    parts = []
+    for i in range(1200):
+        w = words[(i * 17) % len(words)]
+        if i % 3 == 0:
+            w = w[:2] + "z" + w[3:]  # one substitution
+        parts.append(w)
+        parts.append(" " * (1 + i % 3))
+    hay = "".join(parts)
+    assert len(hay) > fuzzy_mod.FILTER_MIN_N
+    from fuzzy_aho_corasick_tpu.ops.seeds import SeedFilter
+
+    sf = SeedFilter.build(engine)
+    assert sf is not None
+    cand = sf.candidate_starts(hay, len(hay))
+    assert 0 < len(cand) <= len(hay)
+    compare(engine, hay, 0.8, key=span_key)
