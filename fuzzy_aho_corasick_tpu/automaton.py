@@ -78,6 +78,9 @@ class FuzzyAhoCorasick:
         # Policy knob: 'auto' uses the TPU path when eligible, 'oracle'/'device'
         # force one path (used by differential tests).
         self.backend = "auto"
+        # Observability: per-search counters set by whichever path ran
+        # (SURVEY §5 tracing/metrics; see oracle.search_raw and ops/*).
+        self.last_stats: Optional[dict] = None
 
     # ------------------------------------------------------------------
     def patterns(self) -> List[Pattern]:

@@ -206,6 +206,12 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
     pat_weight = dense.pat_weight
     patterns = engine._patterns
 
+    engine.last_stats = {
+        "backend": "device-exact",
+        "positions": int(n),
+        "survivors": int(surv.sum()),
+        "emissions": tot,
+    }
     results: List[FuzzyMatch] = []
     for gpos, t, node in packed:
         start_g = int(gpos)

@@ -536,6 +536,13 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
                 if entry is None or m.similarity > entry[0]:
                     best[key] = (np.float32(m.similarity), cnts)
 
+    engine.last_stats = {
+        "backend": "device-fuzzy",
+        "anchors": int(len(cand)),
+        "positions": int(n),
+        "overflow_rescues": len(overflow_starts),
+        "matches": len(best),
+    }
     results: List[FuzzyMatch] = []
     for (sb, eb, p), (s, cnts) in best.items():
         ins_c = cnts & 0xFF

@@ -153,18 +153,30 @@ def search_raw(
     hay_bytes = haystack.encode("utf-8")
     hay_byte_len = len(hay_bytes)
 
+    # Observability (reference: the cfg(test) trace! macro, src/search.rs:52-61,
+    # and per-state debug notes): cheap counters always; verbose expansion
+    # tracing when FAC_TRACE is set.
+    import os
+
+    trace_on = bool(os.environ.get("FAC_TRACE"))
+    stats = {"backend": "oracle", "windows": 0, "windows_skipped": 0,
+             "states_expanded": 0, "states_deduped": 0, "states_pruned": 0}
+
     start_range = range(1) if only_first_window else range(text_len)
     for start0 in start_range:
+        stats["windows"] += 1
         if window_skip is not None:
             ch = text_chars[start0]
             ch_idx = ord(ch)
             if ch_idx < 128 and not (window_skip[0] >> ch_idx) & 1:
                 nxt_idx = start0 + 1
                 if nxt_idx >= text_len:
+                    stats["windows_skipped"] += 1
                     continue
                 next_ch = text_chars[nxt_idx]
                 next_ch_idx = ord(next_ch)
                 if next_ch_idx < 128 and not (window_skip[1] >> next_ch_idx) & 1:
+                    stats["windows_skipped"] += 1
                     continue
 
         # State tuple: (node, j, matched_start, matched_end, penalties,
@@ -188,13 +200,21 @@ def search_raw(
             dk = (node, j, ms, me, ins, dels, subs, swaps)
             prev = visited.get(dk)
             if prev is not None and prev <= penalties:
+                stats["states_deduped"] += 1
                 continue
             visited[dk] = penalties
 
             node_ref = nodes[node]
             # Per-node prune ceiling (reference src/search.rs:637-642).
             if penalties > node_ceil[node]:
+                stats["states_pruned"] += 1
                 continue
+            stats["states_expanded"] += 1
+            if trace_on:
+                print(
+                    f"trace: start={start0} node={node} j={j} span=[{ms},{me}) "
+                    f"pen={float(penalties):.3f} e={edits} i={ins} d={dels} s={subs} w={swaps}"
+                )
 
             output = node_ref.output
             edges = node_ref.edges
@@ -344,6 +364,8 @@ def search_raw(
     out = list(best.values())
     for m in out:
         m.text = hay_bytes[m.start : m.end].decode("utf-8")
+    stats["matches"] = len(out)
+    engine.last_stats = stats
     return out
 
 
