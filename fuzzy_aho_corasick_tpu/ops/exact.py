@@ -41,16 +41,23 @@ SURV_FRAC_DEFAULT = 8  # chunk // SURV_FRAC survivors
 K_DEFAULT = 1 << 13
 
 
-@functools.partial(jax.jit, static_argnames=("C", "L", "K", "S", "KG"))
-def _exact_scan_rows(goto_flat, C, out_count, root_planes, ids_rows, L, K, S, KG):
+@functools.partial(jax.jit, static_argnames=("C", "L", "K", "S", "S2", "KG"))
+def _exact_scan_rows(goto_flat, C, out_count, root_planes, ids_rows, L, K, S, S2, KG):
     """All rows in one dispatch, globally compacted output.
 
-    ids_rows [R, N + L] -> (surv_counts [R], counts [R], total, packed
+    ids_rows [R, N + L] -> (surv_counts [R, 2], counts [R], total, packed
     [KG, 3]) where a packed row is (global position, step t, node): the walk
     from global start ``pos`` reached output node ``node`` after consuming
     ``t + 1`` symbols. Only the KG-entry packed buffer crosses the host link
     (device->host bandwidth is the scarce resource on tunneled rigs).
-    ``surv_counts`` > S / ``total`` > KG signal capacity overflow.
+    ``surv_counts[:, 0]`` > S / ``[:, 1]`` > S2 / ``total`` > KG signal
+    capacity overflow.
+
+    Two-stage filtering before the walk: the one-hot root step kills
+    positions with no pattern first-symbol; survivors take one goto step and
+    are re-compacted, so the L-step gather walk (the expensive part) runs on
+    two-symbol-prefix survivors only — typically a few % even for dense
+    dictionaries.
 
     ``root_planes`` [3, C] holds the root goto row split into uint8 planes
     (lo/mid/hi bytes of target+1, 0 = dead) so the one-hot matmuls stay exact
@@ -62,8 +69,8 @@ def _exact_scan_rows(goto_flat, C, out_count, root_planes, ids_rows, L, K, S, KG
         ids_pad = ids_pad.astype(jnp.int32)
         sym0 = ids_pad[:N]
 
-        # Step 0 without gather: one-hot(sym) @ root_row on the MXU, in three
-        # exact byte planes.
+        # Stage 1: root step without gather — one-hot(sym) @ root_row (MXU),
+        # in three exact byte planes.
         oh = jax.nn.one_hot(sym0, C, dtype=jnp.bfloat16)
         planes = jnp.einsum(
             "nc,pc->pn", oh, root_planes.astype(jnp.bfloat16),
@@ -72,36 +79,61 @@ def _exact_scan_rows(goto_flat, C, out_count, root_planes, ids_rows, L, K, S, KG
         enc = planes[0] | (planes[1] << 8) | (planes[2] << 16)
         s1 = enc - 1  # 0 = dead -> -1
 
-        surv_mask = s1 >= 0
-        surv_count = surv_mask.sum(dtype=jnp.int32)
-        spos = jnp.argwhere(surv_mask, size=S, fill_value=-1).astype(jnp.int32)[:, 0]
-        svalid = spos >= 0
-        sp = jnp.maximum(spos, 0)
-        state = jnp.where(svalid, s1[sp], -1)
+        m1 = s1 >= 0
+        c1 = m1.sum(dtype=jnp.int32)
+        p1 = jnp.argwhere(m1, size=S, fill_value=-1).astype(jnp.int32)[:, 0]
+        sp1 = jnp.maximum(p1, 0)
+        st1 = jnp.where(p1 >= 0, s1[sp1], -1)
+
+        # Emissions after one symbol (single-grapheme patterns).
+        emit1 = jnp.where((st1 >= 0) & (out_count[jnp.maximum(st1, 0)] > 0), st1, -1)
+
+        # Stage 2: one goto step on stage-1 survivors, then re-compact.
+        sym1 = ids_pad[sp1 + 1]
+        st2_all = goto_flat[jnp.maximum(st1, 0) * C + sym1]
+        st2_all = jnp.where(st1 >= 0, st2_all, -1)
+        m2 = st2_all >= 0
+        c2 = m2.sum(dtype=jnp.int32)
+        p2 = jnp.argwhere(m2, size=S2, fill_value=-1).astype(jnp.int32)[:, 0]
+        sp2slot = jnp.maximum(p2, 0)
+        sp2 = sp1[sp2slot]                      # row-local position
+        st2 = jnp.where(p2 >= 0, st2_all[sp2slot], -1)
 
         def step(carry, t):
             st = carry
             emit = jnp.where((st >= 0) & (out_count[jnp.maximum(st, 0)] > 0), st, -1)
-            sym = ids_pad[sp + t + 1]
+            sym = ids_pad[sp2 + t + 2]
             nxt = goto_flat[jnp.maximum(st, 0) * C + sym]
             nxt = jnp.where(st >= 0, nxt, -1)
             return nxt, emit
 
-        # Emissions at survivor states after steps 1..L (emit checked on
-        # entry, so the final state's emission needs one more iteration).
-        last, emits = jax.lax.scan(step, state, jnp.arange(L, dtype=jnp.int32))
-        mask = emits >= 0  # [L, S]
-        count = mask.sum(dtype=jnp.int32)
+        # Walk covers spans 2..L (emit checked on entry).
+        _last, emits = jax.lax.scan(step, st2, jnp.arange(L - 1, dtype=jnp.int32))
+        mask = emits >= 0  # [L-1, S2]
+        count = mask.sum(dtype=jnp.int32) + (emit1 >= 0).sum(dtype=jnp.int32)
         idx = jnp.argwhere(mask, size=K, fill_value=-1).astype(jnp.int32)
         nodes = jnp.where(
             idx[:, 0] >= 0,
             emits[jnp.maximum(idx[:, 0], 0), jnp.maximum(idx[:, 1], 0)],
             -1,
         )
-        # Map survivor slot back to the row-local position.
-        pos = jnp.where(idx[:, 1] >= 0, sp[jnp.maximum(idx[:, 1], 0)], -1)
-        packed = jnp.stack([idx[:, 0], pos], axis=1)
-        return surv_count, count, packed, nodes
+        # Walk emissions at scan-step t correspond to overall step t+1
+        # (span t+2); stage-1 emissions are step 0 (span 1).
+        pos = jnp.where(idx[:, 1] >= 0, sp2[jnp.maximum(idx[:, 1], 0)], -1)
+        step_no = jnp.where(idx[:, 0] >= 0, idx[:, 0] + 1, -1)
+        # Append stage-1 emissions (compact separately; K1 shares K budget).
+        e1idx = jnp.argwhere(emit1 >= 0, size=K, fill_value=-1).astype(jnp.int32)[:, 0]
+        e1pos = jnp.where(e1idx >= 0, sp1[jnp.maximum(e1idx, 0)], -1)
+        e1node = jnp.where(e1idx >= 0, emit1[jnp.maximum(e1idx, 0)], -1)
+        packed = jnp.stack(
+            [
+                jnp.concatenate([step_no, jnp.where(e1pos >= 0, 0, -1)]),
+                jnp.concatenate([pos, e1pos]),
+            ],
+            axis=1,
+        )
+        all_nodes = jnp.concatenate([nodes, e1node])
+        return jnp.stack([c1, c2]), count, packed, all_nodes
 
     surv_counts, counts, idx_rows, node_rows = jax.lax.map(row_fn, ids_rows)
 
@@ -179,20 +211,24 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
 
     K = K_DEFAULT
     S = max(chunk // SURV_FRAC_DEFAULT, 1024)
+    S2 = max(S // 8, 1024)
     KG = 1 << 13
     while True:
         surv, counts, total, packed = _exact_scan_rows(
-            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S, KG
+            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S, S2, KG
         )
         surv = np.asarray(surv)
         counts = np.asarray(counts)
-        smax = int(surv.max(initial=0))
+        smax = int(surv[:, 0].max(initial=0))
+        s2max = int(surv[:, 1].max(initial=0))
         cmax = int(counts.max(initial=0))
         tot = int(total)
-        if smax <= S and cmax <= K and tot <= KG:
+        if smax <= S and s2max <= S2 and cmax <= K and tot <= KG:
             break
         if smax > S:
             S = 1 << (smax - 1).bit_length()
+        if s2max > S2:
+            S2 = 1 << (s2max - 1).bit_length()
         if cmax > K:
             K = 1 << (cmax - 1).bit_length()
         if tot > KG:
@@ -209,7 +245,8 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
     engine.last_stats = {
         "backend": "device-exact",
         "positions": int(n),
-        "survivors": int(surv.sum()),
+        "survivors_stage1": int(surv[:, 0].sum()),
+        "survivors_stage2": int(surv[:, 1].sum()),
         "emissions": tot,
     }
     results: List[FuzzyMatch] = []
@@ -284,17 +321,22 @@ def exact_scan_hits(engine, haystack: str, view=None):
     C = dense.num_classes
 
     K, S, KG = K_DEFAULT, max(chunk // SURV_FRAC_DEFAULT, 1024), 1 << 14
+    S2 = max(S // 8, 1024)
     while True:
         surv, counts, total, packed = _exact_scan_rows(
-            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S, KG
+            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S, S2, KG
         )
-        smax = int(np.asarray(surv).max(initial=0))
+        surv = np.asarray(surv)
+        smax = int(surv[:, 0].max(initial=0))
+        s2max = int(surv[:, 1].max(initial=0))
         cmax = int(np.asarray(counts).max(initial=0))
         tot = int(total)
-        if smax <= S and cmax <= K and tot <= KG:
+        if smax <= S and s2max <= S2 and cmax <= K and tot <= KG:
             break
         if smax > S:
             S = 1 << (smax - 1).bit_length()
+        if s2max > S2:
+            S2 = 1 << (s2max - 1).bit_length()
         if cmax > K:
             K = 1 << (cmax - 1).bit_length()
         if tot > KG:
