@@ -342,18 +342,19 @@ def _candidate_starts(engine, haystack, view, ids, thr) -> np.ndarray:
     if n < FILTER_MIN_N:
         return every
 
-    # Large dictionaries: the per-pattern bitap pass doesn't scale; use the
-    # seed-partition filter (one exact-kernel pass over the piece automaton).
-    if len(engine._patterns) > FILTER_MAX_PATTERNS:
-        from .seeds import SeedFilter
+    # Preferred: the seed-partition filter — one exact-kernel device pass
+    # regardless of dictionary size (the per-pattern bitap pass is linear in
+    # pattern count and host-bound).
+    from .seeds import SeedFilter
 
-        sf = getattr(engine, "_seed_filter_cache", None)
-        if sf is None:
-            sf = SeedFilter.build(engine)
-            engine._seed_filter_cache = sf if sf is not None else False
-        if sf is False or sf is None:
-            return every
+    sf = getattr(engine, "_seed_filter_cache", None)
+    if sf is None:
+        sf = SeedFilter.build(engine)
+        engine._seed_filter_cache = sf if sf is not None else False
+    if sf is not False and sf is not None:
         return sf.candidate_starts(haystack, n)
+    if len(engine._patterns) > FILTER_MAX_PATTERNS:
+        return every
 
     from ..prefilter import BitapFilter
 

@@ -203,7 +203,7 @@ def test_fuzzy_device_seed_filter_1k_dictionary():
         .build(words)
     )
     parts = []
-    for i in range(1200):
+    for i in range(1800):
         w = words[(i * 17) % len(words)]
         if i % 3 == 0:
             w = w[:2] + "z" + w[3:]  # one substitution
