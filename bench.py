@@ -18,6 +18,14 @@ import time
 
 import numpy as np
 
+# Repo-local persistent compile cache: XLA compiles for this target go
+# through a remote AOT service (minutes per kernel cold); the cache makes
+# warmed kernels load in ~1 s. Must be set before the package import.
+os.environ.setdefault(
+    "FAC_JAX_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 
 def build_corpus(size_bytes: int) -> str:
     rng = np.random.default_rng(42)

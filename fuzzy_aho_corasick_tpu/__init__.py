@@ -28,6 +28,14 @@ Example::
         print(m.pattern.pattern, m.start, m.end, m.similarity)
 """
 
+from .utils.hostmem import (
+    enable_compile_cache as _enable_compile_cache,
+    tune_host_allocator as _tune_host_allocator,
+)
+
+_tune_host_allocator()
+_enable_compile_cache()
+
 from .automaton import FuzzyAhoCorasick
 from .builder import FuzzyAhoCorasickBuilder
 from .errors import HaystackTooLarge, SearchError

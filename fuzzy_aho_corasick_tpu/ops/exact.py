@@ -28,7 +28,7 @@ alive-mask folded into the tables.
 from __future__ import annotations
 
 import functools
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -170,6 +170,75 @@ def _rows_of(ids: np.ndarray, chunk: int, halo: int, dtype) -> np.ndarray:
     return out
 
 
+def _packed_path_alive(engine, thr: np.float32):
+    """Per packed field: whether every node on its trie path survives the
+    per-node prune ceiling at zero penalty (reference src/search.rs:637-642).
+    Returns None when the engine isn't packable."""
+    from .packed_bitap import packed_exact_of
+
+    pk = packed_exact_of(engine)
+    if pk is None:
+        return None
+    ceil = engine.prune_len_arr - np.float32(engine.prune_len_over_weight_arr * thr)
+    alive = ceil >= 0.0
+    return pk, np.asarray(
+        [bool(alive[0]) and all(alive[ni] for ni in path) for _, _, _, _, path in pk.fields]
+    )
+
+
+def exact_search_packed(engine, haystack: str, threshold: float, view) -> Optional[List["FuzzyMatch"]]:
+    """Exact search via the packed multi-field shift-AND kernel
+    (ops/packed_bitap.py) — one pass over the corpus regardless of dictionary
+    size. None when the engine isn't packable (fallback: the goto-walk
+    kernel below)."""
+    from ..structs import FuzzyMatch
+    from .packed_bitap import exact_hits_packed
+
+    thr = np.float32(threshold)
+    pa = _packed_path_alive(engine, thr)
+    if pa is None:
+        return None
+    pk, field_alive = pa
+
+    got = exact_hits_packed(engine, haystack, view)
+    if got is None:
+        return None
+    ends, fidx = got
+
+    hay_bytes = haystack.encode("utf-8")
+    is_ascii = view.ascii
+    n = len(haystack) if is_ascii else len(view)
+    patterns = engine._patterns
+    nodes = engine.nodes
+    engine.last_stats = {
+        "backend": "device-exact-packed",
+        "positions": int(n),
+        "emissions": int(len(ends)),
+    }
+    results: List[FuzzyMatch] = []
+    for e, fi in zip(ends, fidx):
+        if not field_alive[fi]:
+            continue
+        ni, depth, _lw, _fo, _path = pk.fields[fi]
+        start_g = int(e) - depth
+        end_g = int(e)
+        sb = start_g if is_ascii else view.byte_offset(start_g)
+        eb = end_g if is_ascii else (view.byte_offset(end_g) if end_g < n else len(hay_bytes))
+        text = hay_bytes[sb:eb].decode("utf-8")
+        for p in nodes[ni].output:
+            sim = np.float32(patterns[p].weight)
+            if sim < thr:
+                continue
+            results.append(
+                FuzzyMatch(
+                    insertions=0, deletions=0, substitutions=0, swaps=0, edits=0,
+                    pattern_index=int(p), pattern=patterns[p],
+                    start=sb, end=eb, similarity=sim, text=text,
+                )
+            )
+    return results
+
+
 def exact_search_device(engine, haystack: str, threshold: float, view=None) -> List["FuzzyMatch"]:
     """Device exact search: oracle-identical match list (unsorted)."""
     from ..structs import FuzzyMatch
@@ -180,6 +249,11 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
 
     if view is None:
         view = HaystackView(haystack, engine.case_insensitive)
+
+    packed = exact_search_packed(engine, haystack, threshold, view)
+    if packed is not None:
+        return packed
+
     ids = dense.transcode(haystack, view)
     n = len(ids)
     if n == 0:
@@ -303,6 +377,27 @@ def exact_scan_hits(engine, haystack: str, view=None):
     n = len(ids)
     if n == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    # Packed shift-AND fast lane: one pass, any dictionary size.
+    if dense.num_classes <= 256:
+        from .packed_bitap import exact_hits_packed, packed_exact_of
+
+        got = exact_hits_packed(engine, haystack, view)
+        if got is not None:
+            pk = packed_exact_of(engine)
+            ends, fidx = got
+            nodes = engine.nodes
+            starts_l: list = []
+            pids_l: list = []
+            for e, fi in zip(ends, fidx):
+                ni, depth, _lw, _fo, _path = pk.fields[fi]
+                for p in nodes[ni].output:
+                    starts_l.append(int(e) - depth)
+                    pids_l.append(int(p))
+            return (
+                np.asarray(starts_l, dtype=np.int64),
+                np.asarray(pids_l, dtype=np.int64),
+            )
 
     goto = dense.goto
     enc = (goto[0] + 1).astype(np.int64)

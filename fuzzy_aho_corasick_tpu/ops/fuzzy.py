@@ -342,7 +342,16 @@ def _candidate_starts(engine, haystack, view, ids, thr) -> np.ndarray:
     if n < FILTER_MIN_N:
         return every
 
-    # Preferred: the seed-partition filter — one exact-kernel device pass
+    # Preferred: the packed multi-pattern shift-AND kernel — one device pass
+    # with per-pattern edit budgets derived from the threshold (far tighter
+    # than the seed-partition pieces, so the beam kernel sees fewer anchors).
+    from .packed_bitap import fuzzy_anchors_packed
+
+    anchors = fuzzy_anchors_packed(engine, haystack, thr)
+    if anchors is not None:
+        return anchors
+
+    # Next: the seed-partition filter — one exact-kernel device pass
     # regardless of dictionary size (the per-pattern bitap pass is linear in
     # pattern count and host-bound).
     from .seeds import SeedFilter

@@ -1,0 +1,598 @@
+"""Packed multi-pattern shift-AND Pallas kernel.
+
+One device pass scans the whole corpus against the *entire* dictionary:
+bit-vector fields (reference src/prefilter.rs:186-236) are packed into a
+shared set of u64 limbs (a field never straddles a u64), and the Wu-Manber
+``k+1``-row recurrence (reference src/prefilter.rs:410-435) runs over all
+limbs at once, chunk-per-lane (the same halo decomposition as
+:mod:`fuzzy_aho_corasick_tpu.ops.bitap_tpu`, whose single-pattern kernel this
+supersedes on the hot paths).
+
+Packing soundness: a left shift leaks each field's last bit into the next
+field's bit 0 — but every row's recurrence ORs the start mask (bit 0 of every
+field, the multi-field form of the reference's ``| 1``) before any use, so
+the leak is absorbed; u64 limbs never carry into each other, and no field
+straddles a limb, so no other cross-talk exists. The per-row state is
+therefore bit-identical per field to running each field alone.
+
+Two packings:
+
+* :class:`PackedExact` (``k = 0``): fields are the **output-bearing trie
+  nodes** (path string, length = depth) — not raw patterns — because merged
+  AC outputs emit suffix patterns with the full walked span (reference
+  builder output-union src/builder.rs:239-276; emission src/search.rs:659-737).
+  A hit *is* an exact state-arrival at that node; the kernel emits
+  per-position match words, hits are compacted on device (ops/compact.py) and
+  only ``(position, limb words)`` tuples cross the host link. This is the
+  primary exact-search path — O(1) passes regardless of dictionary size.
+* :class:`PackedFuzzy` (``k >= 1``): fields are the patterns with per-pattern
+  row budgets from the bit-parallel prefilter model
+  (:class:`fuzzy_aho_corasick_tpu.prefilter.BitapFilter`); a hit flags "some
+  pattern within its edit budget ends here"; flags are dilated by the window
+  span and compacted into candidate anchors for the fuzzy beam kernel — the
+  multi-pattern single-pass form of the reference's per-pattern prefilter
+  windows (src/prefilter.rs:304-374).
+
+Division of labor (same as bitap_tpu): per-symbol limb words come from exact
+byte-plane one-hot matmuls (MXU) outside the kernel; the kernel is pure u32
+bitwise VPU work on VMEM blocks with persistent recurrence scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .compact import compact_indices, dilate_any
+
+#: Lane count (independent chunks per pass) and VMEM block budget.
+NL_MAX = 8192
+VMEM_BLOCK_BYTES = 2 << 20
+#: Max one-hot alphabet (the one-hot plane matmul is linear in A).
+MAX_ALPHABET_PACKED = 128
+#: Max u64 limbs (kernel work is linear in W).
+MAX_LIMBS = 8
+#: Outer corpus slice per dispatch (HBM working set is ~40 bytes/symbol).
+STREAM_CHUNK = 1 << 26
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pack_fields(lengths: List[int]) -> Optional[List[Tuple[int, int]]]:
+    """First-fit (limb, bit offset) per field; None if some field > 64 bits."""
+    out: List[Tuple[int, int]] = []
+    w, off = 0, 0
+    for m in lengths:
+        if m < 1 or m > 64:
+            return None
+        if off + m > 64:
+            w, off = w + 1, 0
+        out.append((w, off))
+        off += m
+    return out
+
+
+def _plane_table(limb: np.ndarray, A: int, W: int) -> np.ndarray:
+    """[A, W] u64 per-symbol limb words -> [A, 8W] f32 byte planes."""
+    tbl = np.zeros((A, 8 * W), dtype=np.float32)
+    for lw in range(W):
+        for b in range(8):
+            tbl[:, 8 * lw + b] = (
+                (limb[:, lw] >> np.uint64(8 * b)) & np.uint64(0xFF)
+            ).astype(np.float32)
+    return tbl
+
+
+def _starts_mask(offsets: List[Tuple[int, int]], W: int) -> np.ndarray:
+    starts = np.zeros(2 * W, dtype=np.uint32)
+    for lw, lo in offsets:
+        starts[2 * lw + (lo >> 5)] |= np.uint32(1) << np.uint32(lo & 31)
+    return starts
+
+
+def _last_bit_mask(offsets, lengths, rows, row_of, W) -> np.ndarray:
+    """[rows, 2W] u32 with each field's last bit set on its designated row."""
+    mask = np.zeros((rows, 2 * W), dtype=np.uint32)
+    for i, ((lw, lo), m) in enumerate(zip(offsets, lengths)):
+        bit = lo + m - 1
+        mask[row_of(i), 2 * lw + (bit >> 5)] |= np.uint32(1) << np.uint32(bit & 31)
+    return mask
+
+
+class PackedExact:
+    """Output-node packing for exact (k = 0) search.
+
+    Symbols are a compact remap of the dense char classes to just the classes
+    appearing on trie edges (everything else -> 0, which matches nothing) —
+    the one-hot plane matmul is linear in the alphabet, so a 20-symbol
+    dictionary costs ~6x less than the full 129-class ASCII space."""
+
+    __slots__ = ("W", "A", "fields", "plane_tbl", "starts", "m_max", "ascii_tbl", "remap")
+
+    def __init__(self, W, A, fields, plane_tbl, starts, m_max, ascii_tbl, remap):
+        self.W = W
+        self.A = A
+        #: per field: (node_id, depth, limb, bit, path node ids)
+        self.fields = fields
+        self.plane_tbl = plane_tbl
+        self.starts = starts
+        self.m_max = m_max
+        self.ascii_tbl = ascii_tbl  # byte -> packed symbol (u8[256])
+        self.remap = remap  # dense class -> packed symbol (u8[num_classes])
+
+    @staticmethod
+    def build(engine) -> Optional["PackedExact"]:
+        dense = engine.dense
+        nodes = engine.nodes
+        if nodes[0].output:
+            return None  # empty patterns: oracle semantics (NaN), no kernel
+
+        # Trie walk collecting output-bearing nodes with their class paths.
+        out_nodes: List[Tuple[int, List[int], List[int]]] = []
+        used: dict[int, int] = {}
+        stack = [(0, [], [0])]
+        while stack:
+            ni, cls_path, node_path = stack.pop()
+            node = nodes[ni]
+            if node.output and ni != 0:
+                out_nodes.append((ni, cls_path, node_path))
+            for fc, nxt, _single in node.edges:
+                cid = dense.char_class.get(fc, 0)
+                if cid not in used:
+                    used[cid] = len(used) + 1  # packed symbols start at 1
+                stack.append((nxt, cls_path + [used[cid]], node_path + [nxt]))
+        if not out_nodes:
+            return None
+        A = len(used) + 1
+        if A > MAX_ALPHABET_PACKED:
+            return None
+
+        lengths = [len(p) for _, p, _ in out_nodes]
+        offsets = _pack_fields(lengths)
+        if offsets is None:
+            return None
+        W = max(w for w, _ in offsets) + 1
+        if W > MAX_LIMBS:
+            return None
+
+        limb = np.zeros((A, W), dtype=np.uint64)
+        for (ni, cls_path, _np_), (lw, lo) in zip(out_nodes, offsets):
+            for i, sym in enumerate(cls_path):
+                limb[sym, lw] |= np.uint64(1) << np.uint64(lo + i)
+        fields = [
+            (ni, len(cls), lw, lo, node_path)
+            for (ni, cls, node_path), (lw, lo) in zip(out_nodes, offsets)
+        ]
+
+        remap = np.zeros(dense.num_classes, dtype=np.uint8)
+        for cid, sym in used.items():
+            remap[cid] = sym
+        ascii_tbl = remap[np.minimum(dense.ascii_class, dense.num_classes - 1)].astype(np.uint8)
+        return PackedExact(
+            W, A, fields, _plane_table(limb, A, W), _starts_mask(offsets, W),
+            max(lengths), ascii_tbl, remap,
+        )
+
+    def transcode(self, haystack: str, view, dense) -> np.ndarray:
+        """Haystack -> packed symbol stream (native byte-table path for ASCII)."""
+        from ..utils import native
+
+        if view.ascii:
+            return native.transcode_bytes_u8(haystack.encode("ascii"), self.ascii_tbl)
+        ids = dense.transcode(haystack, view)
+        return self.remap[np.minimum(ids, len(self.remap) - 1)]
+
+    def match_mask(self) -> np.ndarray:
+        offs = [(lw, lo) for _, _, lw, lo, _ in self.fields]
+        lens = [d for _, d, _, _, _ in self.fields]
+        return _last_bit_mask(offs, lens, 1, lambda i: 0, self.W)
+
+
+class PackedFuzzy:
+    """Pattern packing with per-pattern row budgets (prefilter model)."""
+
+    __slots__ = ("filt", "W", "A", "offsets", "ms", "plane_tbl", "starts", "m_max")
+
+    def __init__(self, filt, W, A, offsets, ms, plane_tbl, starts, m_max):
+        self.filt = filt
+        self.W = W
+        self.A = A
+        self.offsets = offsets
+        self.ms = ms
+        self.plane_tbl = plane_tbl
+        self.starts = starts
+        self.m_max = m_max
+
+    @staticmethod
+    def build(engine) -> Optional["PackedFuzzy"]:
+        from ..prefilter import BitapFilter
+
+        filt = getattr(engine, "_bitap_filter_cache", None)
+        if filt is None:
+            filt = BitapFilter.build(engine)
+            engine._bitap_filter_cache = filt if filt is not None else False
+        if filt is False or filt is None:
+            return None
+        A = len(filt.symbol_ids) + 1
+        if A > MAX_ALPHABET_PACKED:
+            return None
+        ms = [bp.m for bp in filt.patterns]
+        offsets = _pack_fields(ms)
+        if offsets is None:
+            return None
+        W = max(w for w, _ in offsets) + 1
+        if W > MAX_LIMBS:
+            return None
+        limb = np.zeros((A, W), dtype=np.uint64)
+        for bp, (lw, lo) in zip(filt.patterns, offsets):
+            limb[: len(bp.mask), lw] |= bp.mask << np.uint64(lo)
+        return PackedFuzzy(
+            filt, W, A, offsets, ms, _plane_table(limb, A, W),
+            _starts_mask(offsets, W), max(ms),
+        )
+
+    def fuzzy_masks(self, ks: List[int]) -> Tuple[np.ndarray, np.ndarray, int]:
+        """(match [k+1, 2W], init [k+1, 2W], k) for per-pattern budgets; the
+        init rows reproduce the reference's fresh-start state ``(1 << d) - 1``
+        per field (reference src/prefilter.rs:414-418)."""
+        k = max(ks)
+        match = _last_bit_mask(self.offsets, self.ms, k + 1, lambda i: ks[i], self.W)
+        init = np.zeros((k + 1, 2 * self.W), dtype=np.uint32)
+        for (lw, lo), m in zip(self.offsets, self.ms):
+            for d in range(1, k + 1):
+                word = np.uint64((1 << min(d, m)) - 1) << np.uint64(lo)
+                init[d, 2 * lw] |= np.uint32(word & np.uint64(0xFFFFFFFF))
+                init[d, 2 * lw + 1] |= np.uint32(word >> np.uint64(32))
+        return match, init, k
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _shl1(lo, hi):
+    one = jnp.uint32(1)
+    return lo << one, (hi << one) | jax.lax.shift_right_logical(lo, jnp.uint32(31))
+
+
+def _kernel_factory(k: int, W: int, NL: int, TB: int, emit_words: bool):
+    def kern(starts_ref, match_ref, init_ref, *rest):
+        # rest = 2W bc refs, flag_ref, [2W words refs], r_ref
+        bc_refs = rest[: 2 * W]
+        flag_ref = rest[2 * W]
+        words_refs = rest[2 * W + 1 : 4 * W + 1] if emit_words else None
+        r_ref = rest[-1]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for d in range(k + 1):
+                for i in range(2 * W):
+                    r_ref[d, i, :] = init_ref[d, i, :]
+
+        starts = [starts_ref[i, :] for i in range(2 * W)]
+        match = [[match_ref[d, i, :] for i in range(2 * W)] for d in range(k + 1)]
+
+        def body(t, _):
+            bc = [bc_refs[i][t, :] for i in range(2 * W)]
+
+            new = [[None] * (2 * W) for _ in range(k + 1)]
+            prev = [[r_ref[d, i, :] for i in range(2 * W)] for d in range(k + 1)]
+            for lw in range(W):
+                lo_i, hi_i = 2 * lw, 2 * lw + 1
+                s_lo, s_hi = _shl1(prev[0][lo_i], prev[0][hi_i])
+                new[0][lo_i] = (s_lo | starts[lo_i]) & bc[lo_i]
+                new[0][hi_i] = (s_hi | starts[hi_i]) & bc[hi_i]
+                for d in range(1, k + 1):
+                    a_lo, a_hi = _shl1(prev[d][lo_i], prev[d][hi_i])
+                    a_lo &= bc[lo_i]
+                    a_hi &= bc[hi_i]
+                    u_lo = prev[d - 1][lo_i] | new[d - 1][lo_i]
+                    u_hi = prev[d - 1][hi_i] | new[d - 1][hi_i]
+                    b_lo, b_hi = _shl1(u_lo, u_hi)
+                    new[d][lo_i] = a_lo | b_lo | prev[d - 1][lo_i] | starts[lo_i]
+                    new[d][hi_i] = a_hi | b_hi | prev[d - 1][hi_i] | starts[hi_i]
+
+            acc = jnp.zeros((NL,), jnp.uint32)
+            for d in range(k + 1):
+                for i in range(2 * W):
+                    hit = new[d][i] & match[d][i]
+                    acc |= hit
+                    if emit_words:
+                        words_refs[i][t, :] = hit
+            flag_ref[t, :] = (acc != jnp.uint32(0)).astype(jnp.int32)
+
+            for d in range(k + 1):
+                for i in range(2 * W):
+                    r_ref[d, i, :] = new[d][i]
+            return 0
+
+        jax.lax.fori_loop(0, TB, body, 0)
+
+    return kern
+
+
+def _derive_layout(n: int, halo: int, W: int):
+    nl = NL_MAX
+    while nl > 128 and -(-n // nl) < halo:
+        nl //= 2
+    # chunk >= halo so each lane's warm-up halo fits in the previous lane
+    # (tiny inputs: extra zero-padded tail, symbols are dead). Bucketed to
+    # powers of two so the set of compiled shapes stays small and the
+    # persistent compile cache hits across corpus sizes.
+    chunk = max(-(-n // nl), halo, 8)
+    chunk = 1 << (chunk - 1).bit_length()
+    # Mosaic requires the block's second-to-last dim divisible by 8.
+    tb = max(8, (VMEM_BLOCK_BYTES // (nl * 8 * W)) // 8 * 8)
+    rows_needed = halo + chunk
+    grid = -(-rows_needed // tb)
+    return nl, tb, chunk, grid
+
+
+def _lanes_of(ids_pad, NL, chunk, halo, rows):
+    """Stream-order ids [NL * chunk] -> lane-major [rows, NL] with per-lane
+    left halo from the previous lane (lane 0: zeros = dead symbols, a
+    fixpoint of the fresh-start state)."""
+    main = ids_pad.reshape(NL, chunk).T
+    tail = main[chunk - halo :, :]
+    halo_blk = jnp.concatenate(
+        [jnp.zeros((halo, 1), ids_pad.dtype), tail[:, :-1]], axis=1
+    )
+    lanes = jnp.concatenate([halo_blk, main], axis=0)
+    return jnp.pad(lanes, ((0, rows - halo - chunk), (0, 0)))
+
+
+def _bc_of(lanes, plane_tbl, A, W, rows, NL):
+    """Per-symbol limb words via exact one-hot byte-plane matmul (values
+    <= 255 stay exact in bf16): list of 2W [rows, NL] u32 arrays."""
+    oh = jax.nn.one_hot(lanes.reshape(-1).astype(jnp.int32), A, dtype=jnp.bfloat16)
+    planes = jnp.einsum(
+        "nc,cp->pn", oh, plane_tbl.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.uint32)
+    p = planes.reshape(8 * W, rows, NL)
+    e8, e16, e24 = jnp.uint32(8), jnp.uint32(16), jnp.uint32(24)
+    bc = []
+    for lw in range(W):
+        b = p[8 * lw : 8 * lw + 8]
+        bc.append(b[0] | (b[1] << e8) | (b[2] << e16) | (b[3] << e24))
+        bc.append(b[4] | (b[5] << e8) | (b[6] << e16) | (b[7] << e24))
+    return bc
+
+
+def _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, emit_words, rows):
+    kern = _kernel_factory(k, W, NL, TB, emit_words)
+    out_shape = [jax.ShapeDtypeStruct((rows, NL), jnp.int32)]
+    out_specs = [pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM)]
+    if emit_words:
+        for _ in range(2 * W):
+            out_shape.append(jax.ShapeDtypeStruct((rows, NL), jnp.uint32))
+            out_specs.append(
+                pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            )
+    outs = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((2 * W, NL), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 2 * W, NL), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 2 * W, NL), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        + [
+            pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            for _ in range(2 * W)
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((k + 1, 2 * W, NL), jnp.uint32)],
+        interpret=_interpret(),
+    )(starts, match, init, *bc)
+    if emit_words:
+        return outs[0], list(outs[1:])
+    return outs[0], None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K"),
+)
+def _packed_exact_jit(ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K):
+    """ids [NL*chunk] u8 -> (count, stream positions [K], match words [K, 2W]).
+
+    Positions index the hit's *last* symbol; only the K-slot compacted
+    buffers cross the host link (device->host bytes track the hit count)."""
+    rows = grid * TB
+    lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
+    bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
+    flag, words = _pallas_scan(bc, starts, match, init, 0, W, NL, TB, grid, True, rows)
+
+    # Compact in lane layout (no transpose): flat index f = r2 * NL + l for
+    # row halo + r2, lane l; stream position = l * chunk + r2.
+    flag2 = flag[halo : halo + chunk].reshape(-1)
+    count, idx = compact_indices(flag2, K)
+    safe = jnp.maximum(idx, 0)
+    r2 = safe // NL
+    lane = safe % NL
+    pos = jnp.where(idx >= 0, lane * chunk + r2, -1)
+    widx = (halo + r2) * NL + lane
+    w = jnp.stack([wi.reshape(-1)[widx] for wi in words], axis=1)
+    w = jnp.where(idx[:, None] >= 0, w, 0)
+    return count, pos, w
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K", "k", "span", "n"),
+)
+def _packed_anchors_jit(
+    ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K, k, span, n
+):
+    """ids [NL*chunk] u8 -> (count, anchor positions [K]): hit flags in
+    stream order, dilated backwards by the window span, compacted."""
+    rows = grid * TB
+    lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
+    bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
+    flag, _ = _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, False, rows)
+    flat = flag[halo : halo + chunk].T.reshape(-1)[:n]
+    covered = dilate_any(flat, span)
+    return compact_indices(covered, K)
+
+
+# ---------------------------------------------------------------------------
+# Engine-facing wrappers
+# ---------------------------------------------------------------------------
+
+def _cap_cache(engine) -> dict:
+    """Converged capacity K per static-shape key, so repeated searches never
+    re-enter the capacity-retry loop (each distinct K is a fresh compile)."""
+    c = getattr(engine, "_packed_caps", None)
+    if c is None:
+        c = {}
+        engine._packed_caps = c
+    return c
+
+
+def packed_exact_of(engine) -> Optional[PackedExact]:
+    pk = getattr(engine, "_packed_exact_cache", None)
+    if pk is None:
+        pk = PackedExact.build(engine)
+        engine._packed_exact_cache = pk if pk is not None else False
+    return pk if pk is not False else None
+
+
+def packed_fuzzy_of(engine) -> Optional[PackedFuzzy]:
+    pk = getattr(engine, "_packed_fuzzy_cache", None)
+    if pk is None:
+        pk = PackedFuzzy.build(engine)
+        engine._packed_fuzzy_cache = pk if pk is not None else False
+    return pk if pk is not False else None
+
+
+def _bcast(arr: np.ndarray, NL: int) -> jnp.ndarray:
+    return jnp.asarray(np.broadcast_to(arr[..., None], arr.shape + (NL,)).copy())
+
+
+def exact_hits_packed(engine, haystack: str, view):
+    """All exact state-arrivals at output nodes: (ends [h], node field [h])
+    as numpy arrays; ends are end-exclusive grapheme indices. None when the
+    engine isn't packable."""
+    pk = packed_exact_of(engine)
+    if pk is None:
+        return None
+    ids = pk.transcode(haystack, view, engine.dense)
+    n = len(ids)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ids = np.ascontiguousarray(ids, dtype=np.uint8)
+
+    halo = pk.m_max
+    caps = _cap_cache(engine)
+    match_np = pk.match_mask()
+    tbl = jnp.asarray(pk.plane_tbl)
+
+    ends_all: List[np.ndarray] = []
+    fields_all: List[np.ndarray] = []
+    for c0 in range(0, n, STREAM_CHUNK):
+        c1 = min(n, c0 + STREAM_CHUNK)
+        lo = max(0, c0 - (pk.m_max - 1))
+        seg = ids[lo:c1]
+        NL, TB, chunk, grid = _derive_layout(len(seg), halo, pk.W)
+        ids_pad = np.zeros(NL * chunk, dtype=np.uint8)
+        ids_pad[: len(seg)] = seg
+
+        key = ("exact", NL, TB, grid, chunk)
+        K = caps.get(key, 1 << 14)
+        while True:
+            count, pos, w = _packed_exact_jit(
+                jnp.asarray(ids_pad), tbl, _bcast(pk.starts, NL),
+                _bcast(match_np, NL), jnp.zeros((1, 2 * pk.W, NL), jnp.uint32),
+                pk.A, pk.W, NL, TB, grid, chunk, halo, K,
+            )
+            cnt = int(count)
+            if cnt <= K:
+                break
+            K = 1 << (cnt - 1).bit_length()
+        caps[key] = max(caps.get(key, 0), K)
+        pos = np.asarray(pos[:cnt]).astype(np.int64)
+        w = np.asarray(w[:cnt]).astype(np.uint32)
+
+        keep = (pos >= (c0 - lo)) & (pos < (c1 - lo))
+        pos, w = pos[keep], w[keep]
+        for fi, (_ni, depth, lw, fo, _path) in enumerate(pk.fields):
+            bit = fo + depth - 1
+            col = 2 * lw + (bit >> 5)
+            sel = ((w[:, col] >> np.uint32(bit & 31)) & np.uint32(1)).astype(bool)
+            if sel.any():
+                e = pos[sel] + lo + 1
+                ends_all.append(e)
+                fields_all.append(np.full(len(e), fi, dtype=np.int64))
+
+    if not ends_all:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(ends_all), np.concatenate(fields_all)
+
+
+def fuzzy_anchors_packed(engine, haystack: str, threshold: np.float32) -> Optional[np.ndarray]:
+    """Candidate anchor positions (conservative superset of all match starts)
+    for a fuzzy search at ``threshold``; None when not packable or some
+    pattern's budget exceeds the useful-k bound. Positions are in the
+    prefilter's grapheme indexing (identical to the engine's for ASCII and
+    for the first-char class stream)."""
+    pk = packed_fuzzy_of(engine)
+    if pk is None:
+        return None
+    ks = []
+    for bp in pk.filt.patterns:
+        kq = pk.filt.k_for(bp, threshold)
+        if kq is None:
+            return None
+        ks.append(kq)
+    match, init, k = pk.fuzzy_masks(ks)
+
+    ids, _offsets = pk.filt.transcode(haystack)
+    n = len(ids)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    ids = np.ascontiguousarray(ids, dtype=np.uint8)
+    halo = pk.m_max + k
+    span = halo  # max window span m + k over patterns (conservative)
+    caps = _cap_cache(engine)
+    tbl = jnp.asarray(pk.plane_tbl)
+
+    anchors_all: List[np.ndarray] = []
+    for c0 in range(0, n, STREAM_CHUNK):
+        c1 = min(n, c0 + STREAM_CHUNK)
+        lo = max(0, c0 - halo)
+        hi = min(n, c1 + halo)
+        seg = ids[lo:hi]
+        NL, TB, chunk, grid = _derive_layout(len(seg), halo, pk.W)
+        ids_pad = np.zeros(NL * chunk, dtype=np.uint8)
+        ids_pad[: len(seg)] = seg
+
+        key = ("anchors", k, NL, TB, grid, chunk)
+        K = caps.get(key, 1 << 15)
+        while True:
+            count, idx = _packed_anchors_jit(
+                jnp.asarray(ids_pad), tbl, _bcast(pk.starts, NL),
+                _bcast(match, NL), _bcast(init, NL),
+                pk.A, pk.W, NL, TB, grid, chunk, halo, K, k, span, len(seg),
+            )
+            cnt = int(count)
+            if cnt <= K:
+                break
+            K = 1 << (cnt - 1).bit_length()
+        caps[key] = max(caps.get(key, 0), K)
+        a = np.asarray(idx[:cnt]).astype(np.int64) + lo
+        a = a[(a >= c0) & (a < c1)]
+        anchors_all.append(a.astype(np.int32))
+
+    if not anchors_all:
+        return np.zeros(0, np.int32)
+    return np.concatenate(anchors_all)
