@@ -31,9 +31,11 @@ Example::
 from .utils.hostmem import (
     enable_compile_cache as _enable_compile_cache,
     tune_host_allocator as _tune_host_allocator,
+    tune_network as _tune_network,
 )
 
 _tune_host_allocator()
+_tune_network()
 _enable_compile_cache()
 
 from .automaton import FuzzyAhoCorasick

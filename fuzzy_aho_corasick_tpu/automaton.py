@@ -129,6 +129,7 @@ class FuzzyAhoCorasick:
     def search(self, haystack: str, opts: SearchOptions) -> FuzzyMatches:
         """Search with ranking and overlap resolution per ``opts``
         (reference src/query.rs:30-38)."""
+        opts = SearchOptions.coerce(opts)
         matches = FuzzyMatches(haystack, self.search_raw(haystack, opts.threshold))
         matches.apply(opts.order, opts.overlap)
         return matches
@@ -137,6 +138,7 @@ class FuzzyAhoCorasick:
         """Deterministic non-overlapping match set for the segmentation helpers
         (reference src/query.rs:46-64): Unsorted is upgraded to Default order,
         Keep to NonOverlapping."""
+        opts = SearchOptions.coerce(opts)
         order = Order.Default if opts.order == Order.Unsorted else opts.order
         overlap = Overlap.NonOverlapping if opts.overlap == Overlap.Keep else opts.overlap
         matches = FuzzyMatches(haystack, self.search_raw(haystack, opts.threshold))

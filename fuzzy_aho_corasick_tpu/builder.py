@@ -153,11 +153,13 @@ class FuzzyAhoCorasickBuilder:
         self._min_symbol_similarity = min_
         return self
 
-    def build_replacer(self, pairs: Iterable[tuple]) -> "FuzzyReplacer":
-        """Build a turnkey replacer from (pattern, replacement) pairs
-        (reference src/builder.rs:156-168)."""
+    def build_replacer(self, pairs) -> "FuzzyReplacer":
+        """Build a turnkey replacer from (pattern, replacement) pairs — any
+        iterable of 2-tuples, or a dict (reference src/builder.rs:156-168)."""
         from .replacer import FuzzyReplacer
 
+        if isinstance(pairs, dict):
+            pairs = pairs.items()
         patterns = []
         replacements = []
         for p, r in pairs:

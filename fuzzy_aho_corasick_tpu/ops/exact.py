@@ -278,9 +278,10 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
     dtype = np.uint8 if dense.num_classes <= 256 else np.int32
     ids_rows = _rows_of(ids, chunk, L, dtype)
 
-    goto_flat = jnp.asarray(goto.reshape(-1))
-    out_count = jnp.asarray(dense.out_count)
-    root_planes_j = jnp.asarray(root_planes)
+    goto_flat = jax.device_put(goto.reshape(-1))
+    out_count = jax.device_put(dense.out_count)
+    root_planes_j = jax.device_put(root_planes)
+    ids_dev = jax.device_put(ids_rows)
     C = dense.num_classes
 
     K = K_DEFAULT
@@ -289,7 +290,7 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
     KG = 1 << 13
     while True:
         surv, counts, total, packed = _exact_scan_rows(
-            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S, S2, KG
+            goto_flat, C, out_count, root_planes_j, ids_dev, L, K, S, S2, KG
         )
         surv = np.asarray(surv)
         counts = np.asarray(counts)
@@ -410,16 +411,17 @@ def exact_scan_hits(engine, haystack: str, view=None):
     dtype = np.uint8 if dense.num_classes <= 256 else np.int32
     ids_rows = _rows_of(ids, chunk, L, dtype)
 
-    goto_flat = jnp.asarray(goto.reshape(-1))
-    out_count = jnp.asarray(dense.out_count)
-    root_planes_j = jnp.asarray(root_planes)
+    goto_flat = jax.device_put(goto.reshape(-1))
+    out_count = jax.device_put(dense.out_count)
+    root_planes_j = jax.device_put(root_planes)
+    ids_dev = jax.device_put(ids_rows)
     C = dense.num_classes
 
     K, S, KG = K_DEFAULT, max(chunk // SURV_FRAC_DEFAULT, 1024), 1 << 14
     S2 = max(S // 8, 1024)
     while True:
         surv, counts, total, packed = _exact_scan_rows(
-            goto_flat, C, out_count, root_planes_j, jnp.asarray(ids_rows), L, K, S, S2, KG
+            goto_flat, C, out_count, root_planes_j, ids_dev, L, K, S, S2, KG
         )
         surv = np.asarray(surv)
         smax = int(surv[:, 0].max(initial=0))

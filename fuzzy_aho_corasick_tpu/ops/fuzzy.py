@@ -443,17 +443,27 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     d_deep = int(deg[1:].max()) if dense.num_nodes > 1 else 1
     d_deep = max(d_deep, 1)
 
-    goto_flat = jnp.asarray(dense.goto.reshape(-1))
-    et_full = jnp.asarray(dense.edge_target)
-    ec_full = jnp.asarray(dense.edge_class)
-    et_deep = jnp.asarray(dense.edge_target[:, :d_deep])
-    ec_deep = jnp.asarray(dense.edge_class[:, :d_deep])
-    sim_flat = jnp.asarray(dense.sim.reshape(-1))
-    out_count = jnp.asarray(dense.out_count)
-    out_list = jnp.asarray(dense.out_list)
-    pat_len = jnp.asarray(dense.pat_len)
-    pat_weight = jnp.asarray(dense.pat_weight)
-    node_ceil = jnp.asarray(ceil)
+    # Device-resident automaton tables, cached per engine (re-shipping them
+    # per search costs more than the kernel on small corpora).
+    tabs = getattr(engine, "_fuzzy_dev_tables", None)
+    if tabs is None or tabs[0] != d_deep:
+        tabs = (
+            d_deep,
+            jax.device_put(dense.goto.reshape(-1)),
+            jax.device_put(dense.edge_target),
+            jax.device_put(dense.edge_class),
+            jax.device_put(np.ascontiguousarray(dense.edge_target[:, :d_deep])),
+            jax.device_put(np.ascontiguousarray(dense.edge_class[:, :d_deep])),
+            jax.device_put(dense.sim.reshape(-1)),
+            jax.device_put(dense.out_count),
+            jax.device_put(dense.out_list),
+            jax.device_put(dense.pat_len),
+            jax.device_put(dense.pat_weight),
+        )
+        engine._fuzzy_dev_tables = tabs
+    (_, goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+     out_count, out_list, pat_len, pat_weight) = tabs
+    node_ceil = jax.device_put(ceil)
     pens = engine.penalties
 
     hay_bytes = haystack.encode("utf-8")
@@ -469,11 +479,15 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     cand = _candidate_starts(engine, haystack, view, ids, thr)
 
     # Corpus resident on device with an LSPAN dead tail; length bucketed to
-    # powers of two to bound recompiles.
+    # powers of two to bound recompiles. Shipped as uint8 when the alphabet
+    # fits (4x fewer link bytes), widened once on device.
     padded_len = max(1024, 1 << int(np.ceil(np.log2(n + LSPAN))))
-    ids_full = np.zeros(padded_len, dtype=np.int32)
+    narrow = dense.num_classes <= 256
+    ids_full = np.zeros(padded_len, dtype=np.uint8 if narrow else np.int32)
     ids_full[:n] = ids
-    ids_dev = jnp.asarray(ids_full)
+    ids_dev = jax.device_put(ids_full)
+    if narrow:
+        ids_dev = jax.jit(lambda a: a.astype(jnp.int32))(ids_dev)
     limit = np.int32(n)
 
     for c0 in range(0, len(cand), nchunk):
@@ -486,7 +500,7 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
             out = _fuzzy_scan_kernel(
                 goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
                 out_count, out_list, pat_len, pat_weight, node_ceil,
-                ids_dev, jnp.asarray(starts_chunk), limit, max_pen,
+                ids_dev, jax.device_put(starts_chunk), limit, max_pen,
                 pens.substitution, pens.insertion, pens.deletion, pens.swap,
                 engine.min_symbol_similarity, thr,
                 dense.num_classes, B, T, E, K, KO,

@@ -476,7 +476,7 @@ def packed_fuzzy_of(engine) -> Optional[PackedFuzzy]:
 
 
 def _bcast(arr: np.ndarray, NL: int) -> jnp.ndarray:
-    return jnp.asarray(np.broadcast_to(arr[..., None], arr.shape + (NL,)).copy())
+    return jax.device_put(np.broadcast_to(arr[..., None], arr.shape + (NL,)).copy())
 
 
 def exact_hits_packed(engine, haystack: str, view):
@@ -495,7 +495,7 @@ def exact_hits_packed(engine, haystack: str, view):
     halo = pk.m_max
     caps = _cap_cache(engine)
     match_np = pk.match_mask()
-    tbl = jnp.asarray(pk.plane_tbl)
+    tbl = jax.device_put(pk.plane_tbl)
 
     ends_all: List[np.ndarray] = []
     fields_all: List[np.ndarray] = []
@@ -509,9 +509,12 @@ def exact_hits_packed(engine, haystack: str, view):
 
         key = ("exact", NL, TB, grid, chunk)
         K = caps.get(key, 1 << 14)
+        # device_put: the explicit transfer path sustains ~1.5 GB/s on the
+        # tunneled runtime where jnp.asarray degrades to ~30 MB/s.
+        ids_dev = jax.device_put(ids_pad)
         while True:
             count, pos, w = _packed_exact_jit(
-                jnp.asarray(ids_pad), tbl, _bcast(pk.starts, NL),
+                ids_dev, tbl, _bcast(pk.starts, NL),
                 _bcast(match_np, NL), jnp.zeros((1, 2 * pk.W, NL), jnp.uint32),
                 pk.A, pk.W, NL, TB, grid, chunk, halo, K,
             )
@@ -564,7 +567,7 @@ def fuzzy_anchors_packed(engine, haystack: str, threshold: np.float32) -> Option
     halo = pk.m_max + k
     span = halo  # max window span m + k over patterns (conservative)
     caps = _cap_cache(engine)
-    tbl = jnp.asarray(pk.plane_tbl)
+    tbl = jax.device_put(pk.plane_tbl)
 
     anchors_all: List[np.ndarray] = []
     for c0 in range(0, n, STREAM_CHUNK):
@@ -578,9 +581,10 @@ def fuzzy_anchors_packed(engine, haystack: str, threshold: np.float32) -> Option
 
         key = ("anchors", k, NL, TB, grid, chunk)
         K = caps.get(key, 1 << 15)
+        ids_dev = jax.device_put(ids_pad)
         while True:
             count, idx = _packed_anchors_jit(
-                jnp.asarray(ids_pad), tbl, _bcast(pk.starts, NL),
+                ids_dev, tbl, _bcast(pk.starts, NL),
                 _bcast(match, NL), _bcast(init, NL),
                 pk.A, pk.W, NL, TB, grid, chunk, halo, K, k, span, len(seg),
             )

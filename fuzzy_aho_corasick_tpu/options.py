@@ -41,6 +41,15 @@ class SearchOptions:
     def new() -> "SearchOptions":
         return SearchOptions()
 
+    @staticmethod
+    def coerce(value) -> "SearchOptions":
+        """Accept a ``SearchOptions`` or a bare threshold number anywhere an
+        options argument is expected (Python-side convenience; the reference
+        achieves the same with ``impl From<f32> for SearchOptions``)."""
+        if isinstance(value, SearchOptions):
+            return value
+        return SearchOptions().with_threshold(float(value))
+
     def with_threshold(self, threshold: float) -> "SearchOptions":
         return replace(self, threshold=float(np.float32(threshold)))
 

@@ -241,6 +241,7 @@ class Prefiltered:
 
     def search(self, haystack: str, opts: SearchOptions) -> FuzzyMatches:
         """Identical results to ``engine.search`` (reference src/prefilter.rs:135-143)."""
+        opts = SearchOptions.coerce(opts)
         if self.filter is not None:
             inner = self.filter.search_unsorted(self.engine, haystack, opts.threshold)
         else:

@@ -46,6 +46,26 @@ def enable_compile_cache() -> None:
         pass
 
 
+def tune_network() -> bool:
+    """Disable TCP slow-start-after-idle for host<->device transfers.
+
+    On tunneled device runtimes (the TPU sits behind a TCP proxy), the kernel
+    resets the congestion window after ~200 ms of socket idle, so the first
+    transfer after any host-side work restarts from slow-start: measured on
+    the dev rig, a 64 MiB host->device ship is ~12 ms back-to-back but
+    400-1200 ms after an idle gap — a 30-100x end-to-end search slowdown.
+    Clearing ``net.ipv4.tcp_slow_start_after_idle`` (per-netns, needs root in
+    the namespace) keeps the window open; returns False (harmlessly) when the
+    sysctl isn't writable.
+    """
+    try:
+        with open("/proc/sys/net/ipv4/tcp_slow_start_after_idle", "w") as f:
+            f.write("0")
+        return True
+    except OSError:
+        return False
+
+
 def tune_host_allocator() -> bool:
     """Idempotent; returns True if glibc accepted the tuning."""
     global _done
