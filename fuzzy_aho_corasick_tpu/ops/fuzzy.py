@@ -80,11 +80,12 @@ def _expand(
 
     pos_j = iota_i[:, None] + j
     in_text = (pos_j < limit) & alive
-    sym_j = ids_pad[jnp.clip(pos_j, 0, npad - 1)]
+    # ids_pad may be uint8 (resident corpora ship narrow); widen post-gather.
+    sym_j = ids_pad[jnp.clip(pos_j, 0, npad - 1)].astype(jnp.int32)
     sym_j = jnp.where(in_text, sym_j, 0)
     pos_j1 = pos_j + 1
     in_text2 = (pos_j1 < limit) & alive
-    sym_j1 = ids_pad[jnp.clip(pos_j1, 0, npad - 1)]
+    sym_j1 = ids_pad[jnp.clip(pos_j1, 0, npad - 1)].astype(jnp.int32)
     sym_j1 = jnp.where(in_text2, sym_j1, 0)
 
     remaining = max_pen - pen
@@ -332,12 +333,11 @@ FILTER_MIN_N = 1 << 14
 FILTER_MAX_PATTERNS = 64
 
 
-def _candidate_starts(engine, haystack, view, ids, thr) -> np.ndarray:
+def _candidate_starts(engine, haystack, view, n, thr) -> np.ndarray:
     """Anchor positions that can possibly start a match, via the bit-parallel
     prefilter when reducible (conservative superset — identical final results;
     soundness argument at reference src/prefilter.rs:10-21). Falls back to
     every position."""
-    n = len(ids)
     every = np.arange(n, dtype=np.int32)
     if n < FILTER_MIN_N:
         return every
@@ -415,8 +415,7 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     thr = np.float32(threshold)
     if view is None:
         view = HaystackView(haystack, engine.case_insensitive)
-    ids = dense.transcode(haystack, view)
-    n = len(ids)
+    n = len(view)  # grapheme count == transcoded length
     if n == 0:
         return []
 
@@ -476,18 +475,24 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     # Candidate anchors: every position, or the bitap-filtered subset for
     # large corpora (identical results — the filter is a conservative
     # over-approximation, reference src/prefilter.rs:1-23).
-    cand = _candidate_starts(engine, haystack, view, ids, thr)
+    cand = _candidate_starts(engine, haystack, view, n, thr)
 
-    # Corpus resident on device with an LSPAN dead tail; length bucketed to
-    # powers of two to bound recompiles. Shipped as uint8 when the alphabet
-    # fits (4x fewer link bytes), widened once on device.
-    padded_len = max(1024, 1 << int(np.ceil(np.log2(n + LSPAN))))
+    # Corpus device-resident across searches (utils/device_corpus): dense
+    # class ids, shipped once as uint8 when the alphabet fits. The bucketed
+    # zero tail is dead (class 0 has no edges) and anchors stop at n, which
+    # also covers the kernel's LSPAN lookahead reads.
+    from ..utils import device_corpus
+    from .packed_bitap import _space_token
+
     narrow = dense.num_classes <= 256
-    ids_full = np.zeros(padded_len, dtype=np.uint8 if narrow else np.int32)
-    ids_full[:n] = ids
-    ids_dev = jax.device_put(ids_full)
-    if narrow:
-        ids_dev = jax.jit(lambda a: a.astype(jnp.int32))(ids_dev)
+    ids_dev, n_ids = device_corpus.resident(
+        haystack,
+        ("dense", _space_token(engine)),
+        lambda h: np.ascontiguousarray(
+            dense.transcode(h, view), dtype=np.uint8 if narrow else np.int32
+        ),
+    )
+    assert n_ids == n
     limit = np.int32(n)
 
     for c0 in range(0, len(cand), nchunk):

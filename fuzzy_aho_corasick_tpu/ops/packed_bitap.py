@@ -429,25 +429,73 @@ def _packed_exact_jit(ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, gri
 
 @functools.partial(
     jax.jit,
-    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K", "k", "span", "n"),
+    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K", "k", "span"),
 )
 def _packed_anchors_jit(
-    ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K, k, span, n
+    ids_pad, plane_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, K, k, span
 ):
     """ids [NL*chunk] u8 -> (count, anchor positions [K]): hit flags in
-    stream order, dilated backwards by the window span, compacted."""
+    stream order, dilated backwards by the window span, compacted. ``n`` is a
+    traced scalar (the live prefix length) so one compile serves every corpus
+    in the same bucket; positions >= n are masked, not sliced."""
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
     bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
     flag, _ = _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, False, rows)
-    flat = flag[halo : halo + chunk].T.reshape(-1)[:n]
-    covered = dilate_any(flat, span)
+    flat = flag[halo : halo + chunk].T.reshape(-1)
+    covered = dilate_any(flat, span) & (jnp.arange(flat.shape[0], dtype=jnp.int32) < n)
     return compact_indices(covered, K)
 
 
 # ---------------------------------------------------------------------------
 # Engine-facing wrappers
 # ---------------------------------------------------------------------------
+
+import itertools
+
+_SPACE_COUNTER = itertools.count(1)
+
+#: Largest corpus the single-dispatch resident path serves (kernel HBM
+#: working set is ~52 bytes/symbol); larger inputs stream in chunks.
+RESIDENT_MAX = 1 << 27
+
+
+def _space_token(engine) -> int:
+    """Stable per-engine id for device-corpus cache keys (id() could be
+    reused after GC; this token never is)."""
+    tok = getattr(engine, "_dev_space_token", None)
+    if tok is None:
+        tok = next(_SPACE_COUNTER)
+        engine._dev_space_token = tok
+    return tok
+
+
+def _dev_consts(engine, key: tuple, build) -> tuple:
+    """Per-engine cache of small device-resident constants (mask/start/plane
+    arrays) — re-shipping them per search costs more than the readback."""
+    cache = getattr(engine, "_packed_dev_consts", None)
+    if cache is None:
+        cache = {}
+        engine._packed_dev_consts = cache
+    hit = cache.get(key)
+    if hit is None:
+        hit = build()
+        cache[key] = hit
+    return hit
+
+
+def _derive_layout_resident(nb: int, halo: int, W: int):
+    """(NL, TB, grid, chunk) with NL * chunk == nb exactly (nb is a
+    device-corpus bucket length: 2^k or 3 * 2^(k-1), so any power-of-two
+    NL <= nb / 8 divides it)."""
+    nl = NL_MAX
+    while nl > 128 and nb // nl < max(halo, 8):
+        nl //= 2
+    chunk = nb // nl
+    tb = max(8, (VMEM_BLOCK_BYTES // (nl * 8 * W)) // 8 * 8)
+    grid = -(-(halo + chunk) // tb)
+    return nl, tb, chunk, grid
+
 
 def _cap_cache(engine) -> dict:
     """Converged capacity K per static-shape key, so repeated searches never
@@ -479,24 +527,86 @@ def _bcast(arr: np.ndarray, NL: int) -> jnp.ndarray:
     return jax.device_put(np.broadcast_to(arr[..., None], arr.shape + (NL,)).copy())
 
 
+def _decode_fields(pk, pos: np.ndarray, w: np.ndarray, base: int):
+    """Per-field hit decode: (ends, field indices) from compacted positions +
+    match words."""
+    ends_all: List[np.ndarray] = []
+    fields_all: List[np.ndarray] = []
+    for fi, (_ni, depth, lw, fo, _path) in enumerate(pk.fields):
+        bit = fo + depth - 1
+        col = 2 * lw + (bit >> 5)
+        sel = ((w[:, col] >> np.uint32(bit & 31)) & np.uint32(1)).astype(bool)
+        if sel.any():
+            e = pos[sel] + base + 1
+            ends_all.append(e)
+            fields_all.append(np.full(len(e), fi, dtype=np.int64))
+    if not ends_all:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(ends_all), np.concatenate(fields_all)
+
+
+def _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo):
+    """Capacity-retry loop around one _packed_exact_jit dispatch."""
+    caps = _cap_cache(engine)
+    tbl, sb, mb, ib = _dev_consts(
+        engine,
+        ("exact-consts", NL),
+        lambda: (
+            jax.device_put(pk.plane_tbl),
+            _bcast(pk.starts, NL),
+            _bcast(pk.match_mask(), NL),
+            jax.device_put(np.zeros((1, 2 * pk.W, NL), np.uint32)),
+        ),
+    )
+    key = ("exact", NL, TB, grid, chunk)
+    K = caps.get(key, 1 << 14)
+    while True:
+        count, pos, w = _packed_exact_jit(
+            ids_dev, tbl, sb, mb, ib, pk.A, pk.W, NL, TB, grid, chunk, halo, K
+        )
+        cnt = int(count)
+        if cnt <= K:
+            break
+        K = 1 << (cnt - 1).bit_length()
+    caps[key] = max(caps.get(key, 0), K)
+    pos = np.asarray(pos[:cnt]).astype(np.int64)
+    w = np.asarray(w[:cnt]).astype(np.uint32)
+    return pos, w
+
+
 def exact_hits_packed(engine, haystack: str, view):
     """All exact state-arrivals at output nodes: (ends [h], node field [h])
     as numpy arrays; ends are end-exclusive grapheme indices. None when the
     engine isn't packable."""
+    from ..utils import device_corpus
+
     pk = packed_exact_of(engine)
     if pk is None:
         return None
-    ids = pk.transcode(haystack, view, engine.dense)
-    n = len(ids)
-    if n == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    ids = np.ascontiguousarray(ids, dtype=np.uint8)
-
     halo = pk.m_max
-    caps = _cap_cache(engine)
-    match_np = pk.match_mask()
-    tbl = jax.device_put(pk.plane_tbl)
 
+    n_graphemes = len(view)
+    if n_graphemes == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+
+    if n_graphemes <= RESIDENT_MAX:
+        # Resident path: the transcoded corpus lives in HBM across searches;
+        # a repeated search ships nothing but the compacted hits back.
+        ids_dev, n = device_corpus.resident(
+            haystack,
+            ("pk-exact", _space_token(engine)),
+            lambda h: np.ascontiguousarray(
+                pk.transcode(h, view, engine.dense), dtype=np.uint8
+            ),
+        )
+        NL, TB, chunk, grid = _derive_layout_resident(ids_dev.size, halo, pk.W)
+        pos, w = _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo)
+        keep = pos < n
+        return _decode_fields(pk, pos[keep], w[keep], 0)
+
+    # Streaming path for corpora past the resident budget.
+    ids = np.ascontiguousarray(pk.transcode(haystack, view, engine.dense), np.uint8)
+    n = len(ids)
     ends_all: List[np.ndarray] = []
     fields_all: List[np.ndarray] = []
     for c0 in range(0, n, STREAM_CHUNK):
@@ -506,39 +616,12 @@ def exact_hits_packed(engine, haystack: str, view):
         NL, TB, chunk, grid = _derive_layout(len(seg), halo, pk.W)
         ids_pad = np.zeros(NL * chunk, dtype=np.uint8)
         ids_pad[: len(seg)] = seg
-
-        key = ("exact", NL, TB, grid, chunk)
-        K = caps.get(key, 1 << 14)
-        # device_put: the explicit transfer path sustains ~1.5 GB/s on the
-        # tunneled runtime where jnp.asarray degrades to ~30 MB/s.
         ids_dev = jax.device_put(ids_pad)
-        while True:
-            count, pos, w = _packed_exact_jit(
-                ids_dev, tbl, _bcast(pk.starts, NL),
-                _bcast(match_np, NL), jnp.zeros((1, 2 * pk.W, NL), jnp.uint32),
-                pk.A, pk.W, NL, TB, grid, chunk, halo, K,
-            )
-            cnt = int(count)
-            if cnt <= K:
-                break
-            K = 1 << (cnt - 1).bit_length()
-        caps[key] = max(caps.get(key, 0), K)
-        pos = np.asarray(pos[:cnt]).astype(np.int64)
-        w = np.asarray(w[:cnt]).astype(np.uint32)
-
+        pos, w = _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo)
         keep = (pos >= (c0 - lo)) & (pos < (c1 - lo))
-        pos, w = pos[keep], w[keep]
-        for fi, (_ni, depth, lw, fo, _path) in enumerate(pk.fields):
-            bit = fo + depth - 1
-            col = 2 * lw + (bit >> 5)
-            sel = ((w[:, col] >> np.uint32(bit & 31)) & np.uint32(1)).astype(bool)
-            if sel.any():
-                e = pos[sel] + lo + 1
-                ends_all.append(e)
-                fields_all.append(np.full(len(e), fi, dtype=np.int64))
-
-    if not ends_all:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        e, f = _decode_fields(pk, pos[keep], w[keep], lo)
+        ends_all.append(e)
+        fields_all.append(f)
     return np.concatenate(ends_all), np.concatenate(fields_all)
 
 
@@ -559,16 +642,56 @@ def fuzzy_anchors_packed(engine, haystack: str, threshold: np.float32) -> Option
         ks.append(kq)
     match, init, k = pk.fuzzy_masks(ks)
 
-    ids, _offsets = pk.filt.transcode(haystack)
-    n = len(ids)
-    if n == 0:
-        return np.zeros(0, np.int32)
-    ids = np.ascontiguousarray(ids, dtype=np.uint8)
+    from ..utils import device_corpus
+
     halo = pk.m_max + k
     span = halo  # max window span m + k over patterns (conservative)
     caps = _cap_cache(engine)
-    tbl = jax.device_put(pk.plane_tbl)
 
+    def consts(NL):
+        return _dev_consts(
+            engine,
+            ("anchor-consts", NL, float(threshold)),
+            lambda: (
+                jax.device_put(pk.plane_tbl),
+                _bcast(pk.starts, NL),
+                _bcast(match, NL),
+                _bcast(init, NL),
+            ),
+        )
+
+    def run(ids_dev, NL, TB, chunk, grid, n_live):
+        tbl, sb, mb, ib = consts(NL)
+        key = ("anchors", k, NL, TB, grid, chunk)
+        K = caps.get(key, 1 << 15)
+        while True:
+            count, idx = _packed_anchors_jit(
+                ids_dev, tbl, sb, mb, ib, np.int32(n_live),
+                pk.A, pk.W, NL, TB, grid, chunk, halo, K, k, span,
+            )
+            cnt = int(count)
+            if cnt <= K:
+                break
+            K = 1 << (cnt - 1).bit_length()
+        caps[key] = max(caps.get(key, 0), K)
+        return np.asarray(idx[:cnt]).astype(np.int64)
+
+    if len(haystack) == 0:
+        return np.zeros(0, np.int32)
+
+    # len(haystack) bounds the grapheme count from above.
+    if len(haystack) <= RESIDENT_MAX:
+        ids_dev, n = device_corpus.resident(
+            haystack,
+            ("pk-fuzzy", _space_token(engine)),
+            lambda h: np.ascontiguousarray(pk.filt.transcode(h)[0], dtype=np.uint8),
+        )
+        NL, TB, chunk, grid = _derive_layout_resident(ids_dev.size, halo, pk.W)
+        return run(ids_dev, NL, TB, chunk, grid, n).astype(np.int32)
+
+    ids, _offsets = pk.filt.transcode(haystack)
+    n = len(ids)
+    ids = np.ascontiguousarray(ids, dtype=np.uint8)
     anchors_all: List[np.ndarray] = []
     for c0 in range(0, n, STREAM_CHUNK):
         c1 = min(n, c0 + STREAM_CHUNK)
@@ -578,22 +701,7 @@ def fuzzy_anchors_packed(engine, haystack: str, threshold: np.float32) -> Option
         NL, TB, chunk, grid = _derive_layout(len(seg), halo, pk.W)
         ids_pad = np.zeros(NL * chunk, dtype=np.uint8)
         ids_pad[: len(seg)] = seg
-
-        key = ("anchors", k, NL, TB, grid, chunk)
-        K = caps.get(key, 1 << 15)
-        ids_dev = jax.device_put(ids_pad)
-        while True:
-            count, idx = _packed_anchors_jit(
-                ids_dev, tbl, _bcast(pk.starts, NL),
-                _bcast(match, NL), _bcast(init, NL),
-                pk.A, pk.W, NL, TB, grid, chunk, halo, K, k, span, len(seg),
-            )
-            cnt = int(count)
-            if cnt <= K:
-                break
-            K = 1 << (cnt - 1).bit_length()
-        caps[key] = max(caps.get(key, 0), K)
-        a = np.asarray(idx[:cnt]).astype(np.int64) + lo
+        a = run(jax.device_put(ids_pad), NL, TB, chunk, grid, len(seg)) + lo
         a = a[(a >= c0) & (a < c1)]
         anchors_all.append(a.astype(np.int32))
 

@@ -1,0 +1,86 @@
+"""Device-resident corpus cache.
+
+The TPU-native deployment model keeps the corpus in HBM and runs many
+searches against it (different engines, thresholds, options) — the analog of
+the reference keeping the haystack in RAM across calls. On tunneled dev rigs
+the host->device link sustains only ~64 MB/s once honest synchronization is
+in effect, so re-shipping a corpus per search would dominate end-to-end time
+by 10-100x; production hosts (PCIe gen4/5) make the ingest cost ~1 GB per
+20 ms either way.
+
+``resident`` maps (haystack, symbol-space) -> a device uint8/int32 array of
+transcoded symbol ids, padded to a bucketed static length (so kernels compile
+once per bucket, not per corpus size). Keyed by the haystack's *content*
+(``hash(str)`` is cached inside the str object, so repeat lookups are O(1));
+a full string equality check guards against hash collisions. LRU-evicted by
+total device bytes.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable, Tuple
+
+import numpy as np
+
+#: Device bytes the cache may hold before LRU eviction.
+CAPACITY_BYTES = 4 << 30
+#: Smallest bucketed length (keeps tiny corpora off the recompile treadmill).
+MIN_BUCKET = 1 << 16
+
+_lru: "OrderedDict[tuple, tuple]" = OrderedDict()  # key -> (hay, dev, n)
+_held_bytes = 0
+
+
+def bucket_len(n: int) -> int:
+    """Smallest static length >= n of the form 2^k or 1.5 * 2^k (<= 33%
+    overshoot, ~2 compiled shapes per octave)."""
+    b = MIN_BUCKET
+    while b < n:
+        b += b // 2 if (b & (b - 1)) == 0 else b // 3
+    return b
+
+
+def resident(
+    haystack: str,
+    space: tuple,
+    transcode: Callable[[str], np.ndarray],
+) -> Tuple[object, int]:
+    """Device array of ``transcode(haystack)`` padded with zeros to
+    ``bucket_len(n)``; ships at most once per (haystack content, space).
+
+    ``space`` must identify the symbol mapping (e.g. an engine's packed
+    alphabet id); zero must be a dead symbol in that space (the pad tail).
+    Returns (device_array, n).
+    """
+    import jax
+
+    global _held_bytes
+    key = (hash(haystack), len(haystack), space)
+    hit = _lru.get(key)
+    if hit is not None and (hit[0] is haystack or hit[0] == haystack):
+        _lru.move_to_end(key)
+        return hit[1], hit[2]
+
+    ids = transcode(haystack)
+    n = len(ids)
+    nb = bucket_len(max(n, 1))
+    pad = np.zeros(nb, dtype=ids.dtype)
+    pad[:n] = ids
+    dev = jax.device_put(pad)
+
+    nbytes = nb * ids.dtype.itemsize
+    _held_bytes += nbytes
+    _lru[key] = (haystack, dev, n)
+    while _held_bytes > CAPACITY_BYTES and len(_lru) > 1:
+        _, (_, old_dev, old_n) = _lru.popitem(last=False)
+        _held_bytes -= old_dev.size * old_dev.dtype.itemsize
+        del old_dev
+    return dev, n
+
+
+def clear() -> None:
+    """Drop every cached device buffer (tests / memory pressure)."""
+    global _held_bytes
+    _lru.clear()
+    _held_bytes = 0

@@ -179,7 +179,7 @@ def test_fuzzy_device_filtered_large_input():
     hay = " ".join(parts)
     assert len(hay) > fuzzy_mod.FILTER_MIN_N
     cand = fuzzy_mod._candidate_starts(
-        engine, hay, None, engine.dense.transcode(hay), np.float32(0.8)
+        engine, hay, None, len(engine.dense.transcode(hay)), np.float32(0.8)
     )
     assert 0 < len(cand) < len(hay), "filter should prune most anchors"
     compare(engine, hay, 0.8, key=span_key)
