@@ -307,8 +307,10 @@ def _fuzzy_scan_kernel(
     valid = e_alive[..., None] & (pats >= 0)
     total = pat_len[jnp.maximum(pats, 0)]
     weight = pat_weight[jnp.maximum(pats, 0)]
+    # Slack threshold; exact f32 similarity recomputed host-side (see
+    # _fuzzy1_scan_kernel).
     sim = ((total - h_pen[..., None]) / total) * weight
-    valid &= ~(sim < thr)
+    valid &= sim >= thr - (np.float32(1e-4) + np.float32(1e-4) * jnp.abs(thr))
 
     count = valid.sum(dtype=jnp.int32)
     idx = jnp.argwhere(valid, size=K, fill_value=0).astype(jnp.int32)
@@ -317,13 +319,186 @@ def _fuzzy_scan_kernel(
     em_i = jnp.where(in_range, got[1], -1)
     em_me = h_me[got[0], got[1], got[2]]
     em_pat = pats[got[0], got[1], got[2], got[3]]
-    em_sim = sim[got[0], got[1], got[2], got[3]]
+    em_pen = h_pen[got[0], got[1], got[2]]
     em_counts = h_counts[got[0], got[1], got[2]]
 
     ov_count = overflow.sum(dtype=jnp.int32)
     ov_idx = jnp.argwhere(overflow, size=KO, fill_value=-1).astype(jnp.int32)[:, 0]
 
-    return count, em_i, em_me, em_pat, em_sim, em_counts, ov_count, ov_idx
+    return count, em_i, em_me, em_pat, em_pen, em_counts, ov_count, ov_idx
+
+
+@functools.partial(jax.jit, static_argnames=("C", "T", "K"))
+def _fuzzy1_scan_kernel(
+    goto_flat,
+    edge_target_full,
+    edge_class_full,
+    edge_target_deep,
+    edge_class_deep,
+    sim_flat,
+    out_count,
+    out_list,
+    pat_len,
+    pat_weight,
+    node_ceil,
+    ids_pad,
+    starts,
+    limit,
+    max_pen,
+    p_sub,
+    p_ins,
+    p_del,
+    p_swap,
+    floor,
+    thr,
+    C,
+    T,
+    K,
+):
+    """Sort-free specialization of the beam scan for a total edit budget of 1.
+
+    With one edit, a state that has spent it can never branch again — only
+    the exact transition fires (reference src/search.rs:776-798 is the sole
+    push when ``can_edit`` is false). So the frontier is exactly:
+
+    * ``s0``: the single 0-edit trie walk per anchor, and
+    * an append-only *pool* of 1-edit walks, spawned from ``s0`` each round
+      (<= 2D+2 spawns: D substitutions, D deletions, one swap, one insert),
+      each advancing deterministically afterwards.
+
+    No visited-map is needed: duplicate (node, j) pool entries cannot branch,
+    so they merely re-emit the same (span, pattern, penalty) tuple, which the
+    host best-per-span reduction collapses — reference semantics preserved
+    without the per-round multi-operand ``lax.sort`` that dominated the
+    general kernel's runtime (~50x the gather work). Capacity is structural
+    (``P = S0 + (T-1) * Sd`` slots), so beam overflow cannot occur and no
+    oracle rescue path is required.
+
+    Returns the same tuple shape as :func:`_fuzzy_scan_kernel` with the
+    overflow fields always empty.
+    """
+    from .compact import compact_indices
+
+    N = starts.shape[0]
+    Df = edge_target_full.shape[1]
+    Dd = edge_target_deep.shape[1]
+    S0 = 2 * Df + 2
+    Sd = 2 * Dd + 2
+    P = S0 + (T - 1) * Sd
+
+    def expand(nodes, j, me, counts, pen, et, ec):
+        return _expand(
+            nodes, j, me, counts, pen, et, ec, goto_flat, C, sim_flat,
+            out_count, node_ceil, ids_pad, limit, starts,
+            max_pen, p_sub, p_ins, p_del, p_swap, floor, 1,
+        )
+
+    z = jnp.zeros((N, 1), dtype=jnp.int32)
+    zf = jnp.zeros((N, 1), dtype=jnp.float32)
+
+    # Round 0: root expansion (full edge width — the root never reappears).
+    c_node, c_j, c_me, c_counts, c_pen = expand(
+        z, z, z, z, zf, edge_target_full, edge_class_full
+    )
+    s0_node = c_node[:, 0]
+    s0_j = c_j[:, 0]
+
+    pool_node = jnp.full((N, P), -1, dtype=jnp.int32)
+    pool_j = jnp.zeros((N, P), dtype=jnp.int32)
+    pool_me = jnp.zeros((N, P), dtype=jnp.int32)
+    pool_counts = jnp.zeros((N, P), dtype=jnp.int32)
+    pool_pen = jnp.zeros((N, P), dtype=jnp.float32)
+    pool_node = pool_node.at[:, :S0].set(c_node[:, 1:])
+    pool_j = pool_j.at[:, :S0].set(c_j[:, 1:])
+    pool_me = pool_me.at[:, :S0].set(c_me[:, 1:])
+    pool_counts = pool_counts.at[:, :S0].set(c_counts[:, 1:])
+    pool_pen = pool_pen.at[:, :S0].set(c_pen[:, 1:])
+
+    def round_body(carry, r):
+        s0_node, s0_j, pool_node, pool_j, pool_me, pool_pen, pool_counts = carry
+
+        # 1) advance every live pool walk by its exact transition.
+        alive = pool_node >= 0
+        pos = starts[:, None] + pool_j
+        in_text = (pos < limit) & alive
+        sym = ids_pad[jnp.clip(pos, 0, ids_pad.shape[0] - 1)].astype(jnp.int32)
+        nxt = goto_flat[jnp.maximum(pool_node, 0) * C + jnp.where(in_text, sym, 0)]
+        nxt = jnp.where(in_text, nxt, -1)
+        # Per-node prune ceiling at push time (src/search.rs:637-642).
+        nxt = jnp.where(pool_pen > node_ceil[jnp.maximum(nxt, 0)], -1, nxt)
+        pool_node = nxt
+        pool_j = jnp.where(nxt >= 0, pool_j + 1, pool_j)
+        pool_me = jnp.where(nxt >= 0, pool_j, pool_me)
+
+        # 2) expand s0 (deep width) -> new s0 + fresh spawns.
+        c_node, c_j, c_me, c_counts, c_pen = expand(
+            s0_node[:, None], s0_j[:, None], s0_j[:, None],
+            jnp.zeros((N, 1), jnp.int32), jnp.zeros((N, 1), jnp.float32),
+            edge_target_deep, edge_class_deep,
+        )
+        new_s0 = c_node[:, 0]
+        new_s0_j = c_j[:, 0]
+        off = S0 + (r - 1) * Sd
+        pool_node = jax.lax.dynamic_update_slice(pool_node, c_node[:, 1:], (0, off))
+        pool_j = jax.lax.dynamic_update_slice(pool_j, c_j[:, 1:], (0, off))
+        pool_me = jax.lax.dynamic_update_slice(pool_me, c_me[:, 1:], (0, off))
+        pool_counts = jax.lax.dynamic_update_slice(pool_counts, c_counts[:, 1:], (0, off))
+        pool_pen = jax.lax.dynamic_update_slice(pool_pen, c_pen[:, 1:], (0, off))
+
+        carry = (new_s0, new_s0_j, pool_node, pool_j, pool_me, pool_pen, pool_counts)
+        return carry, (new_s0, pool_node, pool_me)
+
+    init = (s0_node, s0_j, pool_node, pool_j, pool_me, pool_pen, pool_counts)
+    final, hist = jax.lax.scan(
+        round_body, init, jnp.arange(1, T, dtype=jnp.int32), length=T - 1
+    )
+    pool_pen_f = final[5]
+    pool_counts_f = final[6]
+
+    # Histories: prepend round 0.
+    h_s0 = jnp.concatenate([s0_node[None], hist[0]], axis=0)        # [T, N]
+    h_pn = jnp.concatenate([pool_node[None], hist[1]], axis=0)      # [T, N, P]
+    h_pme = jnp.concatenate([pool_me[None], hist[2]], axis=0)       # [T, N, P]
+
+    # Emission post-pass over (pool slots + the s0 column).
+    h_node = jnp.concatenate([h_pn, h_s0[:, :, None]], axis=2)      # [T, N, P+1]
+    s0_me = (jnp.arange(T, dtype=jnp.int32) + 1)[:, None, None]
+    h_me = jnp.concatenate(
+        [h_pme, jnp.broadcast_to(s0_me, (T, N, 1))], axis=2
+    )
+    pen_all = jnp.concatenate([pool_pen_f, jnp.zeros((N, 1), jnp.float32)], axis=1)
+    counts_all = jnp.concatenate([pool_counts_f, jnp.zeros((N, 1), jnp.int32)], axis=1)
+
+    e_alive = h_node >= 0
+    safe = jnp.maximum(h_node, 0)
+    pats = out_list[safe]                                           # [T, N, P+1, MO]
+    valid = e_alive[..., None] & (pats >= 0)
+    total = pat_len[jnp.maximum(pats, 0)]
+    weight = pat_weight[jnp.maximum(pats, 0)]
+    # XLA lowers f32 division by reciprocal-multiply (1 ULP off IEEE), so the
+    # in-kernel threshold keeps a slack margin and the host recomputes the
+    # exact f32 similarity from the emitted penalty and refilters.
+    sim = ((total - pen_all[None, :, :, None]) / total) * weight
+    valid &= sim >= thr - (np.float32(1e-4) + np.float32(1e-4) * jnp.abs(thr))
+
+    MO = pats.shape[3]
+    count, idx = compact_indices(valid.reshape(-1), K)
+    safe_idx = jnp.maximum(idx, 0)
+    o = safe_idx % MO
+    rest = safe_idx // MO
+    p = rest % (P + 1)
+    rest = rest // (P + 1)
+    i = rest % N
+    t = rest // N
+    ok = idx >= 0
+    em_i = jnp.where(ok, i, -1)
+    em_me = h_me[t, i, p]
+    em_pat = pats[t, i, p, o]
+    em_pen = pen_all[i, p]
+    em_counts = counts_all[i, p]
+    return count, em_i, em_me, em_pat, em_pen, em_counts, jnp.int32(0), jnp.full(
+        (1,), -1, jnp.int32
+    )
 
 
 #: Below this corpus size the bitap pre-pass isn't worth its transcode.
@@ -429,18 +604,21 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     if np.float32(0.0) > max_pen:
         return []
 
-    # Beam width: generous for the edit budget; overflow falls back per start.
-    B = 32 + 24 * E
-    # Chunk size bounded so the round history stays comfortably in HBM.
-    nchunk = NCHUNK
-    while nchunk > 1024 and nchunk * (T + 1) * B * 20 > 512 * 1024 * 1024:
-        nchunk //= 2
-
     # Split edge tables: full width for the root round, non-root max for the
     # steady-state rounds (the root never reappears — no fail links).
     deg = (dense.edge_target >= 0).sum(axis=1)
     d_deep = int(deg[1:].max()) if dense.num_nodes > 1 else 1
     d_deep = max(d_deep, 1)
+
+    # Beam width: generous for the edit budget; overflow falls back per start.
+    # (E == 1 routes to the sort-free pool kernel: structural capacity, no
+    # overflow possible.)
+    B = 32 + 24 * E
+    width = (2 * d_deep + 2) * T if E == 1 else B
+    # Chunk size bounded so the round history stays comfortably in HBM.
+    nchunk = NCHUNK
+    while nchunk > 1024 and nchunk * (T + 1) * width * 24 > 512 * 1024 * 1024:
+        nchunk //= 2
 
     # Device-resident automaton tables, cached per engine (re-shipping them
     # per search costs more than the kernel on small corpora).
@@ -501,15 +679,26 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
         starts_chunk[: len(src)] = src
 
         K, KO = 4096, 256
+        starts_dev = jax.device_put(starts_chunk)
         while True:
-            out = _fuzzy_scan_kernel(
-                goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
-                out_count, out_list, pat_len, pat_weight, node_ceil,
-                ids_dev, jax.device_put(starts_chunk), limit, max_pen,
-                pens.substitution, pens.insertion, pens.deletion, pens.swap,
-                engine.min_symbol_similarity, thr,
-                dense.num_classes, B, T, E, K, KO,
-            )
+            if E == 1:
+                out = _fuzzy1_scan_kernel(
+                    goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+                    out_count, out_list, pat_len, pat_weight, node_ceil,
+                    ids_dev, starts_dev, limit, max_pen,
+                    pens.substitution, pens.insertion, pens.deletion, pens.swap,
+                    engine.min_symbol_similarity, thr,
+                    dense.num_classes, T, K,
+                )
+            else:
+                out = _fuzzy_scan_kernel(
+                    goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+                    out_count, out_list, pat_len, pat_weight, node_ceil,
+                    ids_dev, starts_dev, limit, max_pen,
+                    pens.substitution, pens.insertion, pens.deletion, pens.swap,
+                    engine.min_symbol_similarity, thr,
+                    dense.num_classes, B, T, E, K, KO,
+                )
             count, ov_count = int(out[0]), int(out[6])
             if count <= K and ov_count <= KO:
                 break
@@ -517,12 +706,17 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
                 K = 1 << (count - 1).bit_length()
             if ov_count > KO:
                 KO = 1 << (ov_count - 1).bit_length()
-        _, em_i, em_me, em_pat, em_sim, em_counts, _, ov_idx = out
+        _, em_i, em_me, em_pat, em_pen, em_counts, _, ov_idx = out
         em_i = np.asarray(em_i[:count])
         em_me = np.asarray(em_me[:count])
         em_pat = np.asarray(em_pat[:count])
-        em_sim = np.asarray(em_sim[:count])
+        em_pen = np.asarray(em_pen[:count])
         em_counts = np.asarray(em_counts[:count])
+        # Exact f32 similarity in the oracle's op order (the kernel's division
+        # is reciprocal-multiply, 1 ULP off) + exact threshold refilter.
+        pl = dense.pat_len[np.maximum(em_pat, 0)]
+        pw = dense.pat_weight[np.maximum(em_pat, 0)]
+        em_sim = np.float32(np.float32(np.float32(pl - em_pen) / pl) * pw)
         ov_local = set(
             int(x) for x in np.asarray(ov_idx[:ov_count]) if 0 <= int(x) < len(src)
         )
@@ -530,6 +724,8 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
         for i, me, p, s, cnts in zip(em_i, em_me, em_pat, em_sim, em_counts):
             i = int(i)
             if i < 0 or i >= len(src) or i in ov_local:
+                continue
+            if s < thr:
                 continue
             start_g = int(starts_chunk[i])
             if start_g >= n:
