@@ -328,8 +328,7 @@ def _fuzzy_scan_kernel(
     return count, em_i, em_me, em_pat, em_pen, em_counts, ov_count, ov_idx
 
 
-@functools.partial(jax.jit, static_argnames=("C", "T", "K"))
-def _fuzzy1_scan_kernel(
+def _fuzzy1_core(
     goto_flat,
     edge_target_full,
     edge_class_full,
@@ -496,9 +495,317 @@ def _fuzzy1_scan_kernel(
     em_pat = pats[t, i, p, o]
     em_pen = pen_all[i, p]
     em_counts = counts_all[i, p]
+    return count, em_i, em_me, em_pat, em_pen, em_counts
+
+
+@functools.partial(jax.jit, static_argnames=("C", "T", "K"))
+def _fuzzy1_scan_kernel(*args, C, T, K):
+    """Standalone-dispatch wrapper over :func:`_fuzzy1_core` (the fallback
+    path when anchors come from the host-side filters; the packed-prefilter
+    configurations use :func:`_fuzzy1_pipeline_jit` instead). Returns the same
+    tuple shape as :func:`_fuzzy_scan_kernel` with empty overflow fields."""
+    count, em_i, em_me, em_pat, em_pen, em_counts = _fuzzy1_core(*args, C=C, T=T, K=K)
     return count, em_i, em_me, em_pat, em_pen, em_counts, jnp.int32(0), jnp.full(
         (1,), -1, jnp.int32
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k", "span",
+        "KA", "NCH", "C", "T", "K_c", "KG",
+    ),
+)
+def _fuzzy1_pipeline_jit(
+    ids_pf, plane_tbl, pf_starts, pf_match, pf_init,
+    goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+    out_count, out_list, pat_len, pat_weight, node_ceil,
+    ids_dense, limit,
+    max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
+    A, W, NL, TB, grid, chunkpf, halo, k, span,
+    KA, NCH, C, T, K_c, KG,
+):
+    """Whole fuzzy E=1 search as ONE dispatch: packed shift-AND anchors ->
+    chunked beam scans -> globally compacted match tuples, all device-side.
+
+    The host link on tunneled rigs charges ~30 ms per transfer regardless of
+    size, so the per-chunk host round trips of the unfused path (anchor
+    readback, per-chunk uploads, per-field downloads) dominated end-to-end
+    latency. Here anchors stay on device, a ``while_loop`` with a *dynamic*
+    trip count (`ceil(anchor_count / NCH)`) runs only the needed beam chunks,
+    and the single int32 result buffer is:
+
+    * row 0 header: ``[anchor_count, max_per_chunk_emissions, total, 0, 0, 0]``
+      (the host checks these against the static capacities and regrows);
+    * row 1+j: ``[start, me, pattern, penalty_bits, edit_counts, 0]`` per
+      emission (penalty f32 bitcast into int32).
+    """
+    from .compact import compact_indices
+    from .packed_bitap import anchor_covered_flags
+
+    covered = anchor_covered_flags(
+        ids_pf, plane_tbl, pf_starts, pf_match, pf_init, limit,
+        A, W, NL, TB, grid, chunkpf, halo, k, span,
+    )
+    count_a, aidx = compact_indices(covered, KA)
+    # Dead anchor slots scan from position `limit` where in_text is false
+    # everywhere — they emit nothing.
+    anchors = jnp.where(aidx >= 0, aidx, limit)
+
+    CH_MAX = KA // NCH
+    n_chunks = jnp.minimum((jnp.minimum(count_a, KA) + NCH - 1) // NCH, CH_MAX)
+
+    bufs0 = (
+        jnp.full((CH_MAX, K_c), -1, jnp.int32),   # start
+        jnp.zeros((CH_MAX, K_c), jnp.int32),      # me
+        jnp.zeros((CH_MAX, K_c), jnp.int32),      # pattern
+        jnp.zeros((CH_MAX, K_c), jnp.float32),    # penalty
+        jnp.zeros((CH_MAX, K_c), jnp.int32),      # packed edit counts
+    )
+
+    def body(state):
+        ci, bufs, mx = state
+        starts_c = jax.lax.dynamic_slice(anchors, (ci * NCH,), (NCH,))
+        cnt, em_i, em_me, em_pat, em_pen, em_counts = _fuzzy1_core(
+            goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+            out_count, out_list, pat_len, pat_weight, node_ceil,
+            ids_dense, starts_c, limit, max_pen,
+            p_sub, p_ins, p_del, p_swap, floor, thr,
+            C=C, T=T, K=K_c,
+        )
+        em_start = jnp.where(em_i >= 0, starts_c[jnp.maximum(em_i, 0)], -1)
+        fields = (em_start, em_me, em_pat, em_pen, em_counts)
+        new_bufs = tuple(
+            jax.lax.dynamic_update_slice(b, f[None], (ci, 0))
+            for b, f in zip(bufs, fields)
+        )
+        return ci + 1, new_bufs, jnp.maximum(mx, cnt)
+
+    _, bufs, max_em = jax.lax.while_loop(
+        lambda s: s[0] < n_chunks, body, (jnp.int32(0), bufs0, jnp.int32(0))
+    )
+    b_start, b_me, b_pat, b_pen, b_cnt = (b.reshape(-1) for b in bufs)
+
+    valid = (b_start >= 0) & (b_start < limit)
+    total, gidx = compact_indices(valid, KG)
+    safe = jnp.maximum(gidx, 0)
+    ok = gidx >= 0
+    rows = jnp.stack(
+        [
+            jnp.where(ok, b_start[safe], -1),
+            jnp.where(ok, b_me[safe], 0),
+            jnp.where(ok, b_pat[safe], 0),
+            jnp.where(ok, jax.lax.bitcast_convert_type(b_pen[safe], jnp.int32), 0),
+            jnp.where(ok, b_cnt[safe], 0),
+            jnp.zeros((KG,), jnp.int32),
+        ],
+        axis=1,
+    )
+    header = (
+        jnp.zeros((1, 6), jnp.int32)
+        .at[0, 0].set(count_a)
+        .at[0, 1].set(max_em)
+        .at[0, 2].set(total)
+    )
+    return jnp.concatenate([header, rows], axis=0)
+
+
+def _fuzzy1_fused(engine, haystack: str, thr, view, n: int, T: int, max_pen, ceil):
+    """Fused single-dispatch fuzzy E=1 search; None when the packed prefilter
+    doesn't cover this engine/threshold (caller falls back to the chunked
+    path)."""
+    from ..utils import device_corpus
+    from .packed_bitap import (
+        RESIDENT_MAX,
+        _bcast,
+        _cap_cache,
+        _derive_layout_resident,
+        _dev_consts,
+        _space_token,
+        packed_fuzzy_of,
+    )
+
+    if n > RESIDENT_MAX:
+        return None
+    pk = packed_fuzzy_of(engine)
+    if pk is None:
+        return None
+    ks = []
+    for bp in pk.filt.patterns:
+        kq = pk.filt.k_for(bp, thr)
+        if kq is None:
+            return None
+        ks.append(kq)
+    match, init, k = pk.fuzzy_masks(ks)
+    halo = pk.m_max + k
+    span = halo
+
+    dense = engine.dense
+    pens = engine.penalties
+
+    # Prefilter symbol stream + dense class stream, both device-resident.
+    ids_pf, n_pf = device_corpus.resident(
+        haystack,
+        ("pk-fuzzy", _space_token(engine)),
+        lambda h: np.ascontiguousarray(pk.filt.transcode(h)[0], dtype=np.uint8),
+    )
+    narrow = dense.num_classes <= 256
+    ids_dense, n_d = device_corpus.resident(
+        haystack,
+        ("dense", _space_token(engine)),
+        lambda h: np.ascontiguousarray(
+            dense.transcode(h, view), dtype=np.uint8 if narrow else np.int32
+        ),
+    )
+    assert n_pf == n_d == n
+
+    NL, TB, chunkpf, grid = _derive_layout_resident(ids_pf.size, halo, pk.W)
+    tbl, sb, mb, ib = _dev_consts(
+        engine,
+        ("anchor-consts", NL, float(thr)),
+        lambda: (
+            jax.device_put(pk.plane_tbl),
+            _bcast(pk.starts, NL),
+            _bcast(match, NL),
+            _bcast(init, NL),
+        ),
+    )
+
+    # Beam tables (shared with the chunked path's per-engine cache).
+    deg = (dense.edge_target >= 0).sum(axis=1)
+    d_deep = int(deg[1:].max()) if dense.num_nodes > 1 else 1
+    d_deep = max(d_deep, 1)
+    tabs = getattr(engine, "_fuzzy_dev_tables", None)
+    if tabs is None or tabs[0] != d_deep:
+        tabs = (
+            d_deep,
+            jax.device_put(dense.goto.reshape(-1)),
+            jax.device_put(dense.edge_target),
+            jax.device_put(dense.edge_class),
+            jax.device_put(np.ascontiguousarray(dense.edge_target[:, :d_deep])),
+            jax.device_put(np.ascontiguousarray(dense.edge_class[:, :d_deep])),
+            jax.device_put(dense.sim.reshape(-1)),
+            jax.device_put(dense.out_count),
+            jax.device_put(dense.out_list),
+            jax.device_put(dense.pat_len),
+            jax.device_put(dense.pat_weight),
+        )
+        engine._fuzzy_dev_tables = tabs
+    (_, goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+     out_count, out_list, pat_len, pat_weight) = tabs
+    node_ceil = jax.device_put(ceil)
+
+    nb = ids_pf.size
+    NCH = NCHUNK
+    width = (2 * d_deep + 2) * T
+    while NCH > 1024 and NCH * (T + 1) * width * 24 > 512 * 1024 * 1024:
+        NCH //= 2
+
+    caps = _cap_cache(engine)
+    ka_key = ("f1pipe-KA", nb, NCH)
+    kc_key = ("f1pipe-Kc", nb, NCH)
+    kg_key = ("f1pipe-KG", nb, NCH)
+    KA = caps.get(ka_key, max(2 * NCH, (((nb >> 8) + NCH - 1) // NCH) * NCH))
+    K_c = caps.get(kc_key, 4096)
+    KG = caps.get(kg_key, 1 << 15)
+
+    while True:
+        buf = jax.device_get(
+            _fuzzy1_pipeline_jit(
+                ids_pf, tbl, sb, mb, ib,
+                goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+                out_count, out_list, pat_len, pat_weight, node_ceil,
+                ids_dense, np.int32(n),
+                max_pen, pens.substitution, pens.insertion, pens.deletion,
+                pens.swap, engine.min_symbol_similarity, thr,
+                A=pk.A, W=pk.W, NL=NL, TB=TB, grid=grid, chunkpf=chunkpf,
+                halo=halo, k=k, span=span,
+                KA=KA, NCH=NCH, C=dense.num_classes, T=T, K_c=K_c, KG=KG,
+            )
+        )
+        count_a, max_em, total = int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
+        grew = False
+        if count_a > KA:
+            KA = (((count_a * 2) + NCH - 1) // NCH) * NCH
+            grew = True
+        if max_em > K_c:
+            K_c = 1 << (max_em - 1).bit_length()
+            grew = True
+        if total > KG:
+            KG = 1 << (total - 1).bit_length()
+            grew = True
+        if not grew:
+            break
+    caps[ka_key] = max(caps.get(ka_key, 0), KA)
+    caps[kc_key] = max(caps.get(kc_key, 0), K_c)
+    caps[kg_key] = max(caps.get(kg_key, 0), KG)
+
+    rows = buf[1 : 1 + total]
+    em_start = rows[:, 0].astype(np.int64)
+    em_me = rows[:, 1].astype(np.int64)
+    em_pat = rows[:, 2]
+    em_pen = rows[:, 3].copy().view(np.float32)
+    em_counts = rows[:, 4]
+
+    # Exact f32 similarity in the oracle's op order (the kernel's division is
+    # reciprocal-multiply, 1 ULP off) + exact threshold refilter.
+    pl = dense.pat_len[np.maximum(em_pat, 0)]
+    pw = dense.pat_weight[np.maximum(em_pat, 0)]
+    em_sim = np.float32(np.float32(np.float32(pl - em_pen) / pl) * pw)
+
+    from ..structs import FuzzyMatch
+
+    hay_bytes = haystack.encode("utf-8")
+    is_ascii = view.ascii
+    patterns = engine._patterns
+    best: dict = {}
+    for s_g, me, p, s, cnts in zip(em_start, em_me, em_pat, em_sim, em_counts):
+        if s < thr:
+            continue
+        start_g = int(s_g)
+        end_g = start_g + int(me)
+        sb_ = start_g if is_ascii else view.byte_offset(start_g)
+        eb_ = (
+            end_g
+            if is_ascii
+            else (view.byte_offset(end_g) if end_g < n else len(hay_bytes))
+        )
+        key = (sb_, eb_, int(p))
+        s = np.float32(s)
+        entry = best.get(key)
+        if entry is None or s > entry[0]:
+            best[key] = (s, int(cnts))
+
+    engine.last_stats = {
+        "backend": "device-fuzzy-fused",
+        "anchors": count_a,
+        "positions": int(n),
+        "emissions": total,
+        "matches": len(best),
+    }
+    results: List[FuzzyMatch] = []
+    for (sb_, eb_, p), (s, cnts) in best.items():
+        ins_c = cnts & 0xFF
+        del_c = (cnts >> 8) & 0xFF
+        sub_c = (cnts >> 16) & 0xFF
+        swap_c = (cnts >> 24) & 0xFF
+        results.append(
+            FuzzyMatch(
+                insertions=ins_c,
+                deletions=del_c,
+                substitutions=sub_c,
+                swaps=swap_c,
+                edits=ins_c + del_c + sub_c + swap_c,
+                pattern_index=p,
+                pattern=patterns[p],
+                start=sb_,
+                end=eb_,
+                similarity=s,
+                text=hay_bytes[sb_:eb_].decode("utf-8"),
+            )
+        )
+    return results
 
 
 #: Below this corpus size the bitap pre-pass isn't worth its transcode.
@@ -604,6 +911,14 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     if np.float32(0.0) > max_pen:
         return []
 
+    # Fused single-dispatch pipeline (anchors + beam + compaction in one jit,
+    # one device_get) for E=1 with the packed prefilter; everything else
+    # takes the chunked path below.
+    if E == 1 and n >= FILTER_MIN_N:
+        fused = _fuzzy1_fused(engine, haystack, thr, view, n, L_max + E, max_pen, ceil)
+        if fused is not None:
+            return fused
+
     # Split edge tables: full width for the root round, non-root max for the
     # steady-state rounds (the root never reappears — no fail links).
     deg = (dense.edge_target >= 0).sum(axis=1)
@@ -688,7 +1003,7 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
                     ids_dev, starts_dev, limit, max_pen,
                     pens.substitution, pens.insertion, pens.deletion, pens.swap,
                     engine.min_symbol_similarity, thr,
-                    dense.num_classes, T, K,
+                    C=dense.num_classes, T=T, K=K,
                 )
             else:
                 out = _fuzzy_scan_kernel(

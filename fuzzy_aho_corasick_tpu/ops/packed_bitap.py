@@ -404,10 +404,13 @@ def _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, emit_words, rows):
     static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K"),
 )
 def _packed_exact_jit(ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K):
-    """ids [NL*chunk] u8 -> (count, stream positions [K], match words [K, 2W]).
+    """ids [NL*chunk] u8 -> one int32 buffer [1 + K, 1 + 2W]: row 0 col 0 is
+    the hit count, row 1+j is (stream position, match words) for hit j.
 
-    Positions index the hit's *last* symbol; only the K-slot compacted
-    buffers cross the host link (device->host bytes track the hit count)."""
+    Positions index the hit's *last* symbol. Everything is packed into a
+    single buffer because the host link on tunneled rigs charges a ~30 ms
+    round trip per transfer — one ``device_get`` per search, not one per
+    field (and never a scalar sync)."""
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
     bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
@@ -424,7 +427,26 @@ def _packed_exact_jit(ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, gri
     widx = (halo + r2) * NL + lane
     w = jnp.stack([wi.reshape(-1)[widx] for wi in words], axis=1)
     w = jnp.where(idx[:, None] >= 0, w, 0)
-    return count, pos, w
+    header = jnp.zeros((1, 1 + 2 * W), jnp.int32).at[0, 0].set(count)
+    body = jnp.concatenate([pos[:, None], w.astype(jnp.int32)], axis=1)
+    return jnp.concatenate([header, body], axis=0)
+
+
+def anchor_covered_flags(
+    ids_pad, plane_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span
+):
+    """Hit flags in stream order, dilated backwards by the window span:
+    int32 [NL * chunk], 1 = position may start a fuzzy match. ``n`` is a
+    traced scalar (the live prefix length) so one compile serves every corpus
+    in the same bucket; positions >= n are masked, not sliced. Traceable —
+    shared by the standalone anchors dispatch and the fused fuzzy pipeline
+    (ops/fuzzy._fuzzy1_pipeline_jit)."""
+    rows = grid * TB
+    lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
+    bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
+    flag, _ = _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, False, rows)
+    flat = flag[halo : halo + chunk].T.reshape(-1)
+    return dilate_any(flat, span) & (jnp.arange(flat.shape[0], dtype=jnp.int32) < n)
 
 
 @functools.partial(
@@ -434,17 +456,13 @@ def _packed_exact_jit(ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, gri
 def _packed_anchors_jit(
     ids_pad, plane_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, K, k, span
 ):
-    """ids [NL*chunk] u8 -> (count, anchor positions [K]): hit flags in
-    stream order, dilated backwards by the window span, compacted. ``n`` is a
-    traced scalar (the live prefix length) so one compile serves every corpus
-    in the same bucket; positions >= n are masked, not sliced."""
-    rows = grid * TB
-    lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
-    bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
-    flag, _ = _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, False, rows)
-    flat = flag[halo : halo + chunk].T.reshape(-1)
-    covered = dilate_any(flat, span) & (jnp.arange(flat.shape[0], dtype=jnp.int32) < n)
-    return compact_indices(covered, K)
+    """Compacted anchor positions as one int32 buffer: [0] = count,
+    [1:] = positions (one device_get on the host side)."""
+    covered = anchor_covered_flags(
+        ids_pad, plane_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span
+    )
+    count, idx = compact_indices(covered, K)
+    return jnp.concatenate([count[None], idx])
 
 
 # ---------------------------------------------------------------------------
@@ -561,16 +579,18 @@ def _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo):
     key = ("exact", NL, TB, grid, chunk)
     K = caps.get(key, 1 << 14)
     while True:
-        count, pos, w = _packed_exact_jit(
-            ids_dev, tbl, sb, mb, ib, pk.A, pk.W, NL, TB, grid, chunk, halo, K
+        buf = jax.device_get(
+            _packed_exact_jit(
+                ids_dev, tbl, sb, mb, ib, pk.A, pk.W, NL, TB, grid, chunk, halo, K
+            )
         )
-        cnt = int(count)
+        cnt = int(buf[0, 0])
         if cnt <= K:
             break
         K = 1 << (cnt - 1).bit_length()
     caps[key] = max(caps.get(key, 0), K)
-    pos = np.asarray(pos[:cnt]).astype(np.int64)
-    w = np.asarray(w[:cnt]).astype(np.uint32)
+    pos = buf[1 : 1 + cnt, 0].astype(np.int64)
+    w = buf[1 : 1 + cnt, 1:].astype(np.int64).astype(np.uint32)
     return pos, w
 
 
@@ -665,16 +685,18 @@ def fuzzy_anchors_packed(engine, haystack: str, threshold: np.float32) -> Option
         key = ("anchors", k, NL, TB, grid, chunk)
         K = caps.get(key, 1 << 15)
         while True:
-            count, idx = _packed_anchors_jit(
-                ids_dev, tbl, sb, mb, ib, np.int32(n_live),
-                pk.A, pk.W, NL, TB, grid, chunk, halo, K, k, span,
+            buf = jax.device_get(
+                _packed_anchors_jit(
+                    ids_dev, tbl, sb, mb, ib, np.int32(n_live),
+                    pk.A, pk.W, NL, TB, grid, chunk, halo, K, k, span,
+                )
             )
-            cnt = int(count)
+            cnt = int(buf[0])
             if cnt <= K:
                 break
             K = 1 << (cnt - 1).bit_length()
         caps[key] = max(caps.get(key, 0), K)
-        return np.asarray(idx[:cnt]).astype(np.int64)
+        return buf[1 : 1 + cnt].astype(np.int64)
 
     if len(haystack) == 0:
         return np.zeros(0, np.int32)
