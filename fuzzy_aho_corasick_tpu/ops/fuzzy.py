@@ -911,6 +911,17 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     if np.float32(0.0) > max_pen:
         return []
 
+    # Banded-DP verify pipeline (hits -> per-field candidates -> Damerau DP,
+    # one jit dispatch + one device_get) — the fast lane for packed-prefilter
+    # engines at any fast-path edit budget. ~(2E+1) x depth cell updates per
+    # candidate vs ~pool x rounds for the beam kernels below.
+    if n >= FILTER_MIN_N:
+        from .verify_dp import fuzzy_search_dp
+
+        dp = fuzzy_search_dp(engine, haystack, threshold, view, n)
+        if dp is not None:
+            return dp
+
     # Fused single-dispatch pipeline (anchors + beam + compaction in one jit,
     # one device_get) for E=1 with the packed prefilter; everything else
     # takes the chunked path below.

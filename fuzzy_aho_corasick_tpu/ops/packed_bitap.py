@@ -301,12 +301,13 @@ def _kernel_factory(k: int, W: int, NL: int, TB: int, emit_words: bool):
                     new[d][hi_i] = a_hi | b_hi | prev[d - 1][hi_i] | starts[hi_i]
 
             acc = jnp.zeros((NL,), jnp.uint32)
-            for d in range(k + 1):
-                for i in range(2 * W):
-                    hit = new[d][i] & match[d][i]
-                    acc |= hit
-                    if emit_words:
-                        words_refs[i][t, :] = hit
+            for i in range(2 * W):
+                wacc = jnp.zeros((NL,), jnp.uint32)
+                for d in range(k + 1):
+                    wacc |= new[d][i] & match[d][i]
+                acc |= wacc
+                if emit_words:
+                    words_refs[i][t, :] = wacc
             flag_ref[t, :] = (acc != jnp.uint32(0)).astype(jnp.int32)
 
             for d in range(k + 1):
@@ -430,6 +431,32 @@ def _packed_exact_jit(ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, gri
     header = jnp.zeros((1, 1 + 2 * W), jnp.int32).at[0, 0].set(count)
     body = jnp.concatenate([pos[:, None], w.astype(jnp.int32)], axis=1)
     return jnp.concatenate([header, body], axis=0)
+
+
+def packed_hits(
+    ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, k, KH
+):
+    """Traceable shift-AND pass emitting per-hit (end positions, match words).
+
+    Returns ``(count, pos [KH], words [KH, 2W])``: ``pos`` is the stream index
+    of each hit's last symbol (ascending in lane layout, compacted), ``words``
+    the OR over error rows of the per-field match bits at that position. Used
+    by the DP verify pipeline (ops/verify_dp.py) to recover exactly *which*
+    field fired where, instead of a dilated any-flag."""
+    rows = grid * TB
+    lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
+    bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
+    flag, words = _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, True, rows)
+    flag2 = flag[halo : halo + chunk].reshape(-1)
+    count, idx = compact_indices(flag2, KH)
+    safe = jnp.maximum(idx, 0)
+    r2 = safe // NL
+    lane = safe % NL
+    pos = jnp.where(idx >= 0, lane * chunk + r2, -1)
+    widx = (halo + r2) * NL + lane
+    w = jnp.stack([wi.reshape(-1)[widx] for wi in words], axis=1)
+    w = jnp.where(idx[:, None] >= 0, w, 0)
+    return count, pos, w
 
 
 def anchor_covered_flags(

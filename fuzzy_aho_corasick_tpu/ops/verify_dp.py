@@ -1,0 +1,652 @@
+"""Banded Damerau DP verify kernel: the fast fuzzy path for packed engines.
+
+TPU-native replacement for frontier expansion on the hot path. The insight:
+the trie is a *tree*, so a BFS state at node ``v`` with ``j`` haystack symbols
+consumed is reachable only along ``v``'s unique root path — its minimum
+penalty is exactly the banded weighted edit distance between ``path(v)`` and
+``haystack[s : s+j]`` (substitution scaled by the similarity table, insertion/
+deletion/swap at their configured penalties; reference edit branches
+src/search.rs:776-1089). So instead of expanding a beam of trie states per
+anchor (~P x T state updates), we:
+
+1. run the packed multi-pattern shift-AND scan ONCE over the corpus with
+   per-pattern error budgets (ops/packed_bitap.packed_hits) — every true
+   match of pattern ``p`` fires p's bit at the match's exact end position
+   (the same NFA-path soundness argument as the reference prefilter,
+   src/prefilter.rs:10-21, with swaps counted as 2 unit errors);
+2. expand each (pattern, end) hit into candidate (output-node field, start)
+   pairs: a <=E-edit match of a depth-``d`` output node consumes ``d + net``
+   haystack symbols with ``net`` in [-E, E], so ``start = end - d - delta`` —
+   2E+1 candidates per (field, hit);
+3. verify each candidate with a banded (2E+1 diagonals) Damerau DP over the
+   field's path string, replicating the oracle's f32 penalty arithmetic,
+   weakest-link floor, per-node prune ceilings and global budget guards —
+   ~(2E+1) x depth cell updates per candidate vs ~P x T for the beam.
+
+Emission semantics: the oracle's span end ``me`` is the column of the last
+*consuming* move (exact/substitution/swap); insertions advance ``j`` without
+advancing ``me`` and deletions advance neither (reference state updates
+src/search.rs:776-1089). The DP therefore carries two channels per cell:
+
+* ``pen``  — min penalty over ALL scripts (continuation channel: feeds the
+  next row's transitions);
+* ``pen_e`` — min penalty over scripts whose moves after the last consume are
+  deletions only (emission channel): ``pen_e(i,j) = min(diag/swap arrivals,
+  pen_e(i-1,j) + p_del)``. Emission at row ``d`` column ``e`` reads
+  ``pen_e(d, e)`` — trailing insertions never emit (they would report a span
+  the oracle attributes to an earlier ``me``).
+
+Per-cell tie-breaking on equal penalty prefers fewer edits, then
+exact/substitution > swap > insertion > deletion — the BFS push order
+(src/search.rs:776-1089); states that tie on penalty but differ in edit-type
+counts collapse to that winner (the oracle keeps both and reports the
+first-popped; identical (span, pattern, similarity) tuples either way,
+differentially tested).
+
+Everything — hits, candidate expansion, DP, emission compaction — runs in ONE
+jit dispatch with ONE device_get of a single int32 buffer (the host link
+charges ~30 ms per transfer; format shared with ops/fuzzy._fuzzy1_pipeline_jit).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compact import compact_indices
+
+
+class VerifyFields:
+    """Host-side DP tables: one field per output-bearing trie node.
+
+    Suffix patterns merged into a deeper node's output list (reference
+    builder output-union src/builder.rs:239-276) emit with the full walked
+    span, so the DP string is the *node path*, not the pattern — the same
+    field model as ops/packed_bitap.PackedExact.
+    """
+
+    __slots__ = (
+        "num_fields", "depth", "node", "path_cls", "path_node", "max_depth",
+        "pat2field", "nf_max",
+    )
+
+    def __init__(self, num_fields, depth, node, path_cls, path_node, max_depth,
+                 pat2field, nf_max):
+        self.num_fields = num_fields
+        self.depth = depth
+        self.node = node
+        self.path_cls = path_cls
+        self.path_node = path_node
+        self.max_depth = max_depth
+        self.pat2field = pat2field
+        self.nf_max = nf_max
+
+    @staticmethod
+    def build(engine) -> Optional["VerifyFields"]:
+        dense = engine.dense
+        nodes = engine.nodes
+        if nodes[0].output:
+            return None  # empty patterns keep oracle semantics
+
+        fields: list = []  # (node_id, class path, node path)
+        stack = [(0, [], [])]
+        while stack:
+            ni, cls_path, node_path = stack.pop()
+            node = nodes[ni]
+            if node.output and ni != 0:
+                fields.append((ni, cls_path, node_path))
+            for fc, nxt, _single in node.edges:
+                cid = dense.char_class.get(fc, 0)
+                stack.append((nxt, cls_path + [cid], node_path + [nxt]))
+        if not fields:
+            return None
+
+        F = len(fields)
+        max_depth = max(len(p) for _, p, _ in fields)
+        depth = np.asarray([len(p) for _, p, _ in fields], dtype=np.int32)
+        node_arr = np.asarray([ni for ni, _, _ in fields], dtype=np.int32)
+        path_cls = np.zeros((F, max_depth), dtype=np.int32)
+        path_node = np.zeros((F, max_depth), dtype=np.int32)
+        for i, (_ni, cls, npath) in enumerate(fields):
+            path_cls[i, : len(cls)] = cls
+            path_node[i, : len(npath)] = npath
+
+        # pattern -> fields whose node.output contains it (usually one).
+        P = len(engine._patterns)
+        lists: list[list[int]] = [[] for _ in range(P)]
+        for i, (ni, _c, _n) in enumerate(fields):
+            for p in nodes[ni].output:
+                lists[p].append(i)
+        nf_max = max(len(l) for l in lists)
+        if nf_max == 0:
+            return None
+        pat2field = np.full((P, nf_max), -1, dtype=np.int32)
+        for p, l in enumerate(lists):
+            pat2field[p, : len(l)] = l
+        return VerifyFields(F, depth, node_arr, path_cls, path_node, max_depth,
+                            pat2field, nf_max)
+
+
+def verify_fields_of(engine) -> Optional[VerifyFields]:
+    vf = getattr(engine, "_verify_fields_cache", None)
+    if vf is None:
+        vf = VerifyFields.build(engine)
+        engine._verify_fields_cache = vf if vf is not None else False
+    return vf if vf is not False else None
+
+
+# ---------------------------------------------------------------------------
+# DP core (traceable)
+# ---------------------------------------------------------------------------
+
+def _banded_dp(
+    cand_field, cand_start,
+    path_cls_flat, path_node_flat, depth_arr,
+    ids_pad, limit, sim_flat, node_ceil,
+    max_pen, p_sub, p_ins, p_del, p_swap, floor,
+    E, Lmax, C,
+):
+    """Banded Damerau DP over candidates.
+
+    cand_field/cand_start: [M] (field index, anchor start; field -1 = dead
+    slot). Returns (emit_pen [M, B, E+1], emit_cnt [M, B, E+1]) — the
+    emission channel at each candidate's row ``depth``, column
+    ``j = depth + (b - E)``, per exact edit count; dead cells carry +inf.
+
+    Each cell keeps one state PER EDIT COUNT — a Pareto front over
+    (penalty, edits). A plain min-penalty cell is wrong: the cheapest script
+    can exhaust the edit budget while a costlier script with fewer edits
+    still completes (the oracle's visited key includes the edit counts,
+    src/search.rs:31-50, so such states coexist there too). Within one
+    (cell, edits) channel the packed per-type counts of the min-penalty
+    script are kept for reporting.
+    """
+    M = cand_field.shape[0]
+    B = 2 * E + 1
+    NE = E + 1
+    npad = ids_pad.shape[0]
+    INF = jnp.float32(np.inf)
+
+    f = jnp.maximum(cand_field, 0)
+    alive_c = cand_field >= 0
+    dpth = jnp.where(alive_c, depth_arr[f], 0)
+
+    def grid_init():
+        pen = [[jnp.full((M,), INF, jnp.float32) for _ in range(NE)] for _ in range(B)]
+        cnt = [[jnp.zeros((M,), jnp.int32) for _ in range(NE)] for _ in range(B)]
+        return pen, cnt
+
+    zero_or_inf = jnp.where(alive_c, jnp.float32(0.0), INF)
+    pen0, cnt0 = grid_init()
+    pen0[E][0] = zero_or_inf
+    pen_m1, cnt_m1 = grid_init()  # row -1 (the swap's i-2 lookback)
+    pen_e0, cnt_e0 = grid_init()  # emission channel row 0 (empty prefix)
+    pen_e0[E][0] = zero_or_inf
+
+    def hay_at(j_abs):
+        """Class id at absolute haystack index, -1 outside [0, limit)."""
+        ok = (j_abs >= 0) & (j_abs < limit)
+        hc = ids_pad[jnp.clip(j_abs, 0, npad - 1)].astype(jnp.int32)
+        return jnp.where(ok, hc, -1)
+
+    def merge(bp, bc, op, oc, ok):
+        """Pick (op, oc) over (bp, bc) when strictly lower penalty; the
+        earlier argument wins ties (BFS push order)."""
+        op = jnp.where(ok, op, INF)
+        take = op < bp
+        return jnp.where(take, op, bp), jnp.where(take, oc, bc)
+
+    def step(carry, i):
+        (prev2_pen, prev2_cnt, prev_pen, prev_cnt,
+         preve_pen, preve_cnt, emit_pen, emit_cnt) = carry
+        pc = path_cls_flat[f * Lmax + (i - 1)]       # [M]
+        node_i = path_node_flat[f * Lmax + (i - 1)]  # [M]
+        row_live = alive_c & (i <= dpth)
+        ceil_i = node_ceil[node_i]
+        pc_prev = path_cls_flat[f * Lmax + jnp.maximum(i - 2, 0)]
+
+        cons_pen, cons_cnt = grid_init()   # consuming arrivals (diag/swap)
+        new_pen, new_cnt = grid_init()     # full continuation channel
+        hcs = []
+        for b in range(B):
+            j = i + (b - E)  # haystack symbols consumed at this cell
+            hc = hay_at(cand_start + j - 1)
+            hcs.append(hc)
+            hc_jm1 = hay_at(cand_start + j - 2)
+            sim = sim_flat[pc * C + jnp.maximum(hc, 0)]
+            spen = jnp.float32(p_sub * (np.float32(1.0) - sim))
+            j_ok = j >= 1
+            for e in range(NE):
+                # exact: (i-1, b, e) — no edit (src/search.rs:776-798)
+                p_pen = prev_pen[b][e]
+                bp = jnp.where(
+                    jnp.isfinite(p_pen) & j_ok & (hc == pc), p_pen, INF
+                )
+                bc = prev_cnt[b][e]
+                if e >= 1:
+                    # substitution: (i-1, b, e-1) (src/search.rs:803-874)
+                    q_pen = prev_pen[b][e - 1]
+                    q_cnt = prev_cnt[b][e - 1]
+                    ok_s = (
+                        jnp.isfinite(q_pen) & j_ok & (hc >= 0) & (hc != pc)
+                        & ~(sim < floor)
+                        & ~(spen > (max_pen - q_pen))
+                    )
+                    bp, bc = merge(bp, bc, q_pen + spen, q_cnt + 0x1_0000, ok_s)
+                    # swap: (i-2, b, e-1) (src/search.rs:935-989)
+                    s_pen = prev2_pen[b][e - 1]
+                    s_cnt = prev2_cnt[b][e - 1]
+                    ok_sw = (
+                        jnp.isfinite(s_pen) & (i >= 2) & (j >= 2)
+                        & ~(p_swap > (max_pen - s_pen))
+                        & (hc >= 0) & (hc_jm1 >= 0)
+                        & (hc == pc_prev) & (hc_jm1 == pc)
+                    )
+                    bp, bc = merge(bp, bc, s_pen + p_swap, s_cnt + 0x100_0000, ok_sw)
+                cons_pen[b][e] = bp
+                cons_cnt[b][e] = bc
+                # deletion: (i-1, b+1, e-1) — consume pc only
+                # (src/search.rs:1035-1089; column j is band b+1 on row i-1)
+                if e >= 1 and b + 1 < B:
+                    d_pen = prev_pen[b + 1][e - 1]
+                    d_cnt = prev_cnt[b + 1][e - 1]
+                    ok_del = jnp.isfinite(d_pen) & ~(p_del > (max_pen - d_pen))
+                    bp, bc = merge(bp, bc, d_pen + p_del, d_cnt + 0x100, ok_del)
+                new_pen[b][e] = bp
+                new_cnt[b][e] = bc
+
+        # insertion: same row, (b-1, e-1) -> b — consume hc only, ascending b
+        # (src/search.rs:994-1029). Forbidden from cells with zero hay
+        # consumed (the nothing-matched-yet rule): source col j-1 >= 1.
+        for b in range(1, B):
+            j = i + (b - E)
+            hc = hcs[b]
+            for e in range(1, NE):
+                ip = new_pen[b - 1][e - 1]
+                ic = new_cnt[b - 1][e - 1]
+                ok_ins = (
+                    jnp.isfinite(ip)
+                    & ~(p_ins > (max_pen - ip))
+                    & (hc >= 0)
+                    & (j >= 2)
+                )
+                new_pen[b][e], new_cnt[b][e] = merge(
+                    new_pen[b][e], new_cnt[b][e], ip + p_ins, ic + 1, ok_ins
+                )
+
+        # Per-node prune ceiling + row liveness (src/search.rs:637-642), and
+        # the emission channel: min(consuming arrival, trailing deletion from
+        # the emission channel one row up — column j is band b+1 there).
+        newe_pen, newe_cnt = grid_init()
+        for b in range(B):
+            for e in range(NE):
+                dead = ~row_live | (new_pen[b][e] > ceil_i)
+                new_pen[b][e] = jnp.where(dead, INF, new_pen[b][e])
+
+                ep = cons_pen[b][e]
+                ec = cons_cnt[b][e]
+                if e >= 1 and b + 1 < B:
+                    t_pen = preve_pen[b + 1][e - 1]
+                    t_cnt = preve_cnt[b + 1][e - 1]
+                    ok_t = jnp.isfinite(t_pen) & ~(p_del > (max_pen - t_pen))
+                    ep, ec = merge(ep, ec, t_pen + p_del, t_cnt + 0x100, ok_t)
+                edead = ~row_live | (ep > ceil_i)
+                newe_pen[b][e] = jnp.where(edead, INF, ep)
+                newe_cnt[b][e] = ec
+
+        emit_here = row_live & (i == dpth)
+        stack = lambda g: jnp.stack([jnp.stack(col, axis=1) for col in g], axis=1)
+        emit_pen = jnp.where(emit_here[:, None, None], stack(newe_pen), emit_pen)
+        emit_cnt = jnp.where(emit_here[:, None, None], stack(newe_cnt), emit_cnt)
+        carry = (prev_pen, prev_cnt, new_pen, new_cnt,
+                 newe_pen, newe_cnt, emit_pen, emit_cnt)
+        return carry, None
+
+    init = (
+        pen_m1, cnt_m1, pen0, cnt0, pen_e0, cnt_e0,
+        jnp.full((M, B, NE), INF, jnp.float32), jnp.zeros((M, B, NE), jnp.int32),
+    )
+    carry, _ = jax.lax.scan(step, init, jnp.arange(1, Lmax + 1, dtype=jnp.int32))
+    emit_pen, emit_cnt = carry[6], carry[7]
+    return emit_pen, emit_cnt
+
+
+# ---------------------------------------------------------------------------
+# Fused pipeline: hits -> candidates -> DP -> compacted matches
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
+        "KH", "CAND", "KG", "E", "Lmax", "C", "MO",
+        "BITS", "P2F", "DEPTHS",
+    ),
+)
+def _dp_pipeline_jit(
+    ids_pf, plane_tbl, pf_starts, pf_match, pf_init,
+    depth_arr, node_arr, path_cls_flat, path_node_flat,
+    out_list, pat_len, pat_weight,
+    ids_dense, limit,
+    sim_flat, node_ceil,
+    max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
+    A, W, NL, TB, grid, chunkpf, halo, k,
+    KH, CAND, KG, E, Lmax, C, MO,
+    BITS,      # tuple of (word column, shift) per pattern
+    P2F,       # tuple of field-index tuples per pattern
+    DEPTHS,    # tuple of field depths
+):
+    """Whole DP-verified fuzzy search as one dispatch; single int32 result
+    buffer with the same layout as ops/fuzzy._fuzzy1_pipeline_jit:
+
+    * row 0: ``[hit_count, cand_count, total_emissions, 0, 0, 0]``
+    * row 1+j: ``[start, me, pattern, penalty_bits, edit_counts, 0]``
+    """
+    from .packed_bitap import packed_hits
+
+    count_h, pos, words = packed_hits(
+        ids_pf, plane_tbl, pf_starts, pf_match, pf_init,
+        A, W, NL, TB, grid, chunkpf, halo, k, KH,
+    )
+    hit_ok = (pos >= 0) & (pos < limit)
+
+    # Candidate expansion (all-static loops: field ids and depths are python
+    # ints, so no gathers): [n_combo, KH] -> compact to CAND.
+    B = 2 * E + 1
+    ends = pos + 1  # end-exclusive stream position of each hit
+    cf_list, cs_list, ok_list = [], [], []
+    for p, (col, sh) in enumerate(BITS):
+        bit = (words[:, col].astype(jnp.uint32) >> jnp.uint32(sh)) & jnp.uint32(1)
+        fired = hit_ok & (bit == 1)
+        for fld in P2F[p]:
+            d = DEPTHS[fld]
+            for b in range(B):
+                start = ends - (d + (b - E))
+                ok = fired & (start >= 0) & (start < limit)
+                cf_list.append(jnp.where(ok, fld, -1))
+                cs_list.append(jnp.where(ok, start, 0))
+                ok_list.append(ok)
+    cf_all = jnp.concatenate(cf_list)
+    cs_all = jnp.concatenate(cs_list)
+    ok_all = jnp.concatenate(ok_list)
+    cand_count, cidx = compact_indices(ok_all, CAND)
+    csafe = jnp.maximum(cidx, 0)
+    cand_field = jnp.where(cidx >= 0, cf_all[csafe], -1)
+    cand_start = jnp.where(cidx >= 0, cs_all[csafe], 0)
+
+    emit_pen, emit_cnt = _banded_dp(
+        cand_field, cand_start,
+        path_cls_flat, path_node_flat, depth_arr,
+        ids_dense, limit, sim_flat, node_ceil,
+        max_pen, p_sub, p_ins, p_del, p_swap, floor,
+        E, Lmax, C,
+    )
+
+    # Emission: candidate x band x edit-count channel x output pattern.
+    NE = E + 1
+    fsafe = jnp.maximum(cand_field, 0)
+    d = depth_arr[fsafe]
+    node = node_arr[fsafe]
+    pats = out_list[node]                         # [CAND, MO]
+    ends_e = cand_start[:, None] + d[:, None] + (
+        jnp.arange(B, dtype=jnp.int32) - E
+    )[None, :]                                    # [CAND, B]
+    e_ok = (
+        (cand_field >= 0)[:, None, None, None]
+        & jnp.isfinite(emit_pen)[:, :, :, None]
+        & (ends_e <= limit)[:, :, None, None]
+        & (ends_e >= cand_start[:, None])[:, :, None, None]
+        & (pats >= 0)[:, None, None, :]
+    )
+    total_pat = pat_len[jnp.maximum(pats, 0)]     # [CAND, MO]
+    weight = pat_weight[jnp.maximum(pats, 0)]
+    pen_safe = jnp.where(jnp.isfinite(emit_pen), emit_pen, 0.0)
+    sim = (
+        (total_pat[:, None, None, :] - pen_safe[:, :, :, None])
+        / total_pat[:, None, None, :]
+    ) * weight[:, None, None, :]
+    e_ok &= sim >= thr - (np.float32(1e-4) + np.float32(1e-4) * jnp.abs(thr))
+
+    total, gidx = compact_indices(e_ok.reshape(-1), KG)
+    gsafe = jnp.maximum(gidx, 0)
+    o = gsafe % MO
+    rest = gsafe // MO
+    e = rest % NE
+    rest = rest // NE
+    b = rest % B
+    m = rest // B
+    ok = gidx >= 0
+    rows = jnp.stack(
+        [
+            jnp.where(ok, cand_start[m], -1),
+            jnp.where(ok, d[m] + (b - E), 0),
+            jnp.where(ok, pats[m, o], 0),
+            jnp.where(
+                ok,
+                jax.lax.bitcast_convert_type(pen_safe[m, b, e], jnp.int32),
+                0,
+            ),
+            jnp.where(ok, emit_cnt[m, b, e], 0),
+            jnp.zeros((KG,), jnp.int32),
+        ],
+        axis=1,
+    )
+    header = (
+        jnp.zeros((1, 6), jnp.int32)
+        .at[0, 0].set(count_h)
+        .at[0, 1].set(cand_count)
+        .at[0, 2].set(total)
+    )
+    return jnp.concatenate([header, rows], axis=0)
+
+
+def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[List]:
+    """DP-verified fuzzy search (fast-path configs, packed prefilter
+    eligible); None when not applicable — the caller falls back to the beam
+    kernels. Oracle-identical matches."""
+    from ..structs import FuzzyMatch
+    from ..utils import device_corpus
+    from .packed_bitap import (
+        RESIDENT_MAX,
+        _bcast,
+        _cap_cache,
+        _derive_layout_resident,
+        _dev_consts,
+        _space_token,
+        packed_fuzzy_of,
+    )
+
+    thr = np.float32(threshold)
+    if n > RESIDENT_MAX:
+        return None
+    pk = packed_fuzzy_of(engine)
+    if pk is None:
+        return None
+    vf = verify_fields_of(engine)
+    if vf is None:
+        return None
+    ks = []
+    for bp in pk.filt.patterns:
+        kq = pk.filt.k_for(bp, thr)
+        if kq is None:
+            return None
+        ks.append(kq)
+    match, init, k = pk.fuzzy_masks(ks)
+    halo = pk.m_max + k
+
+    dense = engine.dense
+    pens = engine.penalties
+    E = engine.max_edits_fast
+    ceil = engine.prune_len_arr - np.float32(engine.prune_len_over_weight_arr * thr)
+    max_pen = np.float32(ceil[0])
+    if np.float32(0.0) > max_pen:
+        return []
+
+    ids_pf, n_pf = device_corpus.resident(
+        haystack,
+        ("pk-fuzzy", _space_token(engine)),
+        lambda h: np.ascontiguousarray(pk.filt.transcode(h)[0], dtype=np.uint8),
+    )
+    narrow = dense.num_classes <= 256
+    ids_dense, n_d = device_corpus.resident(
+        haystack,
+        ("dense", _space_token(engine)),
+        lambda h: np.ascontiguousarray(
+            dense.transcode(h, view), dtype=np.uint8 if narrow else np.int32
+        ),
+    )
+    assert n_pf == n_d == n
+
+    NL, TB, chunkpf, grid = _derive_layout_resident(ids_pf.size, halo, pk.W)
+    tbl, sb, mb, ib = _dev_consts(
+        engine,
+        ("anchor-consts", NL, float(thr)),
+        lambda: (
+            jax.device_put(pk.plane_tbl),
+            _bcast(pk.starts, NL),
+            _bcast(match, NL),
+            _bcast(init, NL),
+        ),
+    )
+
+    # Static candidate-expansion tables (python ints — no device gathers).
+    statics = getattr(engine, "_dp_statics", None)
+    if statics is None:
+        bits = tuple(
+            (2 * lw + ((lo + m_p - 1) >> 5), (lo + m_p - 1) & 31)
+            for (lw, lo), m_p in zip(pk.offsets, pk.ms)
+        )
+        p2f = tuple(
+            tuple(int(fi) for fi in row if fi >= 0) for row in vf.pat2field
+        )
+        depths = tuple(int(dd) for dd in vf.depth)
+        statics = (bits, p2f, depths)
+        engine._dp_statics = statics
+    BITS, P2F, DEPTHS = statics
+
+    dtabs = getattr(engine, "_dp_dev_tables", None)
+    if dtabs is None:
+        dtabs = (
+            jax.device_put(vf.depth),
+            jax.device_put(vf.node),
+            jax.device_put(vf.path_cls.reshape(-1)),
+            jax.device_put(vf.path_node.reshape(-1)),
+            jax.device_put(dense.out_list),
+            jax.device_put(dense.pat_len),
+            jax.device_put(dense.pat_weight),
+            jax.device_put(dense.sim.reshape(-1)),
+        )
+        engine._dp_dev_tables = dtabs
+    dep_d, node_d, pcls_d, pnode_d, olist_d, plen_d, pw_d, sim_d = dtabs
+    node_ceil = jax.device_put(ceil)
+
+    nb = ids_pf.size
+    caps = _cap_cache(engine)
+    kh_key = ("dp-KH", nb)
+    ca_key = ("dp-CAND", nb)
+    kg_key = ("dp-KG", nb)
+    KH = caps.get(kh_key, max(1 << 13, nb >> 10))
+    CAND = caps.get(ca_key, 1 << 14)
+    KG = caps.get(kg_key, 1 << 15)
+
+    while True:
+        buf = jax.device_get(
+            _dp_pipeline_jit(
+                ids_pf, tbl, sb, mb, ib,
+                dep_d, node_d, pcls_d, pnode_d,
+                olist_d, plen_d, pw_d,
+                ids_dense, np.int32(n),
+                sim_d, node_ceil,
+                max_pen, pens.substitution, pens.insertion, pens.deletion,
+                pens.swap, engine.min_symbol_similarity, thr,
+                A=pk.A, W=pk.W, NL=NL, TB=TB, grid=grid, chunkpf=chunkpf,
+                halo=halo, k=k,
+                KH=KH, CAND=CAND, KG=KG, E=E, Lmax=vf.max_depth,
+                C=dense.num_classes, MO=dense.max_out,
+                BITS=BITS, P2F=P2F, DEPTHS=DEPTHS,
+            )
+        )
+        count_h, cand_count, total = int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
+        grew = False
+        if count_h > KH:
+            KH = 1 << (count_h - 1).bit_length()
+            grew = True
+        if cand_count > CAND:
+            CAND = 1 << (cand_count - 1).bit_length()
+            grew = True
+        if total > KG:
+            KG = 1 << (total - 1).bit_length()
+            grew = True
+        if not grew:
+            break
+    caps[kh_key] = max(caps.get(kh_key, 0), KH)
+    caps[ca_key] = max(caps.get(ca_key, 0), CAND)
+    caps[kg_key] = max(caps.get(kg_key, 0), KG)
+
+    rows = buf[1 : 1 + total]
+    em_start = rows[:, 0].astype(np.int64)
+    em_me = rows[:, 1].astype(np.int64)
+    em_pat = rows[:, 2]
+    em_pen = rows[:, 3].copy().view(np.float32)
+    em_counts = rows[:, 4]
+
+    # Exact f32 similarity in the oracle's op order + exact threshold refilter.
+    pl = dense.pat_len[np.maximum(em_pat, 0)]
+    pw = dense.pat_weight[np.maximum(em_pat, 0)]
+    em_sim = np.float32(np.float32(np.float32(pl - em_pen) / pl) * pw)
+
+    hay_bytes = haystack.encode("utf-8")
+    is_ascii = view.ascii
+    patterns = engine._patterns
+    best: dict = {}
+    for s_g, me, p, s, cnts in zip(em_start, em_me, em_pat, em_sim, em_counts):
+        if s < thr:
+            continue
+        start_g = int(s_g)
+        end_g = start_g + int(me)
+        sb_ = start_g if is_ascii else view.byte_offset(start_g)
+        eb_ = (
+            end_g
+            if is_ascii
+            else (view.byte_offset(end_g) if end_g < n else len(hay_bytes))
+        )
+        key = (sb_, eb_, int(p))
+        s = np.float32(s)
+        entry = best.get(key)
+        if entry is None or s > entry[0]:
+            best[key] = (s, int(cnts))
+
+    engine.last_stats = {
+        "backend": "device-fuzzy-dp",
+        "hits": count_h,
+        "candidates": cand_count,
+        "positions": int(n),
+        "emissions": total,
+        "matches": len(best),
+    }
+    results: List[FuzzyMatch] = []
+    for (sb_, eb_, p), (s, cnts) in best.items():
+        ins_c = cnts & 0xFF
+        del_c = (cnts >> 8) & 0xFF
+        sub_c = (cnts >> 16) & 0xFF
+        swap_c = (cnts >> 24) & 0xFF
+        results.append(
+            FuzzyMatch(
+                insertions=ins_c,
+                deletions=del_c,
+                substitutions=sub_c,
+                swaps=swap_c,
+                edits=ins_c + del_c + sub_c + swap_c,
+                pattern_index=p,
+                pattern=patterns[p],
+                start=sb_,
+                end=eb_,
+                similarity=s,
+                text=hay_bytes[sb_:eb_].decode("utf-8"),
+            )
+        )
+    return results
