@@ -742,69 +742,21 @@ def _fuzzy1_fused(engine, haystack: str, thr, view, n: int, T: int, max_pen, cei
     caps[kg_key] = max(caps.get(kg_key, 0), KG)
 
     rows = buf[1 : 1 + total]
-    em_start = rows[:, 0].astype(np.int64)
-    em_me = rows[:, 1].astype(np.int64)
-    em_pat = rows[:, 2]
-    em_pen = rows[:, 3].copy().view(np.float32)
-    em_counts = rows[:, 4]
+    from .emit import decode_matches
 
-    # Exact f32 similarity in the oracle's op order (the kernel's division is
-    # reciprocal-multiply, 1 ULP off) + exact threshold refilter.
-    pl = dense.pat_len[np.maximum(em_pat, 0)]
-    pw = dense.pat_weight[np.maximum(em_pat, 0)]
-    em_sim = np.float32(np.float32(np.float32(pl - em_pen) / pl) * pw)
-
-    from ..structs import FuzzyMatch
-
-    hay_bytes = haystack.encode("utf-8")
-    is_ascii = view.ascii
-    patterns = engine._patterns
-    best: dict = {}
-    for s_g, me, p, s, cnts in zip(em_start, em_me, em_pat, em_sim, em_counts):
-        if s < thr:
-            continue
-        start_g = int(s_g)
-        end_g = start_g + int(me)
-        sb_ = start_g if is_ascii else view.byte_offset(start_g)
-        eb_ = (
-            end_g
-            if is_ascii
-            else (view.byte_offset(end_g) if end_g < n else len(hay_bytes))
-        )
-        key = (sb_, eb_, int(p))
-        s = np.float32(s)
-        entry = best.get(key)
-        if entry is None or s > entry[0]:
-            best[key] = (s, int(cnts))
-
+    results = decode_matches(
+        engine, view, haystack, n,
+        rows[:, 0], rows[:, 1], rows[:, 2],
+        rows[:, 3].copy().view(np.float32), rows[:, 4],
+        thr,
+    )
     engine.last_stats = {
         "backend": "device-fuzzy-fused",
         "anchors": count_a,
         "positions": int(n),
         "emissions": total,
-        "matches": len(best),
+        "matches": len(results),
     }
-    results: List[FuzzyMatch] = []
-    for (sb_, eb_, p), (s, cnts) in best.items():
-        ins_c = cnts & 0xFF
-        del_c = (cnts >> 8) & 0xFF
-        sub_c = (cnts >> 16) & 0xFF
-        swap_c = (cnts >> 24) & 0xFF
-        results.append(
-            FuzzyMatch(
-                insertions=ins_c,
-                deletions=del_c,
-                substitutions=sub_c,
-                swaps=swap_c,
-                edits=ins_c + del_c + sub_c + swap_c,
-                pattern_index=p,
-                pattern=patterns[p],
-                start=sb_,
-                end=eb_,
-                similarity=s,
-                text=hay_bytes[sb_:eb_].decode("utf-8"),
-            )
-        )
     return results
 
 

@@ -33,11 +33,15 @@ _held_bytes = 0
 
 
 def bucket_len(n: int) -> int:
-    """Smallest static length >= n of the form 2^k or 1.5 * 2^k (<= 33%
-    overshoot, ~2 compiled shapes per octave)."""
+    """Smallest static length >= n of the form (8..15)/8 * 2^k (<= 12.5%
+    overshoot, 8 compiled shapes per octave — the scan kernels do work
+    proportional to the bucket, so overshoot is directly wasted throughput;
+    every bucket stays a multiple of 2^(k-3) >= 8192, so the lane layouts'
+    power-of-two lane counts divide it)."""
     b = MIN_BUCKET
     while b < n:
-        b += b // 2 if (b & (b - 1)) == 0 else b // 3
+        p = 1 << (b.bit_length() - 1)  # containing power of two
+        b += p // 8 if b != p else b // 8
     return b
 
 
