@@ -164,16 +164,110 @@ def _banded_dp(
     src/search.rs:31-50, so such states coexist there too). Within one
     (cell, edits) channel the packed per-type counts of the min-penalty
     script are kept for reporting.
+
+    TPU memory-access rules this kernel is shaped by (all measured on chip):
+    random gathers cost ~1 ms per [M]-indexed gather op regardless of source
+    size; ``vmap(dynamic_slice)`` row-slicing costs ~100 ms; row gathers
+    from small tables and one-hot matmuls are free; and any array whose two
+    minor dims are small gets lane-padded to (8, 128) — so a [M, B, NE]
+    carry would silently cost 512x its logical bytes per scan step. Hence:
+    the haystack window is fetched with a handful of packed-u32 word
+    gathers, per-candidate path/ceiling/similarity tables come from free
+    small-table row gathers, the similarity band is materialized by
+    class-count selects (bit-exact f32 — no arithmetic), and every loop
+    array is laid out with the candidate axis LAST ([rows, M], [Lmax, B, M])
+    so nothing is lane-padded. The scan body uses only static-width dynamic
+    slices along the leading row axis.
     """
     M = cand_field.shape[0]
     B = 2 * E + 1
     NE = E + 1
+    F = depth_arr.shape[0]
     npad = ids_pad.shape[0]
     INF = jnp.float32(np.inf)
 
     f = jnp.maximum(cand_field, 0)
     alive_c = cand_field >= 0
     dpth = jnp.where(alive_c, depth_arr[f], 0)
+
+    # --- one-time pre-gather (per candidate) -----------------------------
+    # optimization_barrier forces the gather+transpose results to MATERIALIZE
+    # in [rows, M] layout: without it XLA fuses the lazy transpose into every
+    # consumer, re-running the per-candidate gather once per consuming op
+    # (measured ~0.2 ms x 700+ consumers = the whole kernel's former runtime).
+    path_cls2d = path_cls_flat.reshape(F, Lmax)
+    ceil_tab = node_ceil[path_node_flat.reshape(F, Lmax)]     # [F, Lmax]
+    pcls_T, ceil_T = jax.lax.optimization_barrier(
+        (path_cls2d[f].T, ceil_tab[f].T)                      # [Lmax, M] each
+    )
+
+    # Haystack window: row o <-> hay(cand_start + o - E - 1), o in [0, WLEN).
+    # Rows 0..E are the lookback (element gathers, may index < 0); rows
+    # E+1.. come from packed-u32 word gathers: ceil(main_w/4)+1 gathers per
+    # candidate instead of main_w (cand_start >= 0, and resident buffers
+    # guarantee a >= 128 dead-symbol tail past n — device_corpus.TAIL_MARGIN
+    # — so word reads never need clamping for live candidates).
+    main_w = Lmax + E
+    main_rows = []
+    if ids_pad.dtype == jnp.uint8 and npad % 4 == 0:
+        ids32 = jax.lax.bitcast_convert_type(
+            ids_pad.reshape(-1, 4), jnp.uint32
+        )                                                      # [npad/4]
+        nw32 = ids32.shape[0]
+        base_word = cand_start >> 2
+        phase = (cand_start & 3).astype(jnp.uint32)
+        NW = (main_w + 3) // 4 + 1
+        words = [
+            ids32[jnp.minimum(base_word + t, nw32 - 1)] for t in range(NW)
+        ]
+        for r in range(main_w):
+            w0 = r // 4
+            hi = (phase + jnp.uint32(r)) >> 2 > jnp.uint32(w0)
+            word = jnp.where(hi, words[min(w0 + 1, NW - 1)], words[w0])
+            sh = ((phase + jnp.uint32(r)) & 3) * jnp.uint32(8)
+            main_rows.append(((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32))
+    else:
+        for r in range(main_w):
+            idx = jnp.minimum(cand_start + r, npad - 1)
+            main_rows.append(ids_pad[idx].astype(jnp.int32))
+    for r in range(main_w):
+        main_rows[r] = jnp.where(cand_start + r < limit, main_rows[r], -1)
+    lb_rows = []
+    for t in range(E + 1):
+        idx = cand_start + (t - (E + 1))
+        sym = ids_pad[jnp.clip(idx, 0, npad - 1)].astype(jnp.int32)
+        lb_rows.append(jnp.where(idx >= 0, sym, -1))
+    win_rows = lb_rows + main_rows
+    win_rows = list(jax.lax.optimization_barrier(tuple(win_rows)))
+    win = jnp.stack(win_rows, axis=0)                          # [WLEN, M]
+
+    # Similarity band: simband[l, b, m] = sim(path_cls[f, l], win[l+1+b, m]),
+    # bit-exact f32. For small alphabets: free row-gather of the per-field
+    # path similarity rows + one select per class (pure data movement, no
+    # float arithmetic). For large alphabets: one flat-key gather per (l, b).
+    sim2d = sim_flat.reshape(C, C)
+    if C <= 64:
+        sp_tab = sim2d[path_cls2d].reshape(F, Lmax * C)        # [F, Lmax*C]
+        spg_T = jax.lax.optimization_barrier(sp_tab[f].T)      # [Lmax*C, M]
+        sb_rows = []
+        for l in range(Lmax):
+            for b in range(B):
+                hc = win_rows[l + 1 + b]
+                acc = jnp.zeros((M,), jnp.float32)
+                for c in range(C):
+                    acc = jnp.where(hc == c, spg_T[l * C + c], acc)
+                sb_rows.append(acc)
+        simband = jnp.stack(sb_rows, axis=0).reshape(Lmax, B, M)
+    else:
+        pcg = path_cls2d[f]                                    # [M, Lmax]
+        sb_rows = []
+        for l in range(Lmax):
+            pc_l = pcg[:, l]
+            for b in range(B):
+                hc = win_rows[l + 1 + b]
+                key = pc_l * C + jnp.maximum(hc, 0)
+                sb_rows.append(sim_flat[key])
+        simband = jnp.stack(sb_rows, axis=0).reshape(Lmax, B, M)
 
     def grid_init():
         pen = [[jnp.full((M,), INF, jnp.float32) for _ in range(NE)] for _ in range(B)]
@@ -187,12 +281,6 @@ def _banded_dp(
     pen_e0, cnt_e0 = grid_init()  # emission channel row 0 (empty prefix)
     pen_e0[E][0] = zero_or_inf
 
-    def hay_at(j_abs):
-        """Class id at absolute haystack index, -1 outside [0, limit)."""
-        ok = (j_abs >= 0) & (j_abs < limit)
-        hc = ids_pad[jnp.clip(j_abs, 0, npad - 1)].astype(jnp.int32)
-        return jnp.where(ok, hc, -1)
-
     def merge(bp, bc, op, oc, ok):
         """Pick (op, oc) over (bp, bc) when strictly lower penalty; the
         earlier argument wins ties (BFS push order)."""
@@ -203,21 +291,26 @@ def _banded_dp(
     def step(carry, i):
         (prev2_pen, prev2_cnt, prev_pen, prev_cnt,
          preve_pen, preve_cnt, emit_pen, emit_cnt) = carry
-        pc = path_cls_flat[f * Lmax + (i - 1)]       # [M]
-        node_i = path_node_flat[f * Lmax + (i - 1)]  # [M]
+        pc = jax.lax.dynamic_slice_in_dim(pcls_T, i - 1, 1, axis=0)[0]
+        pc_prev = jax.lax.dynamic_slice_in_dim(
+            pcls_T, jnp.maximum(i - 2, 0), 1, axis=0
+        )[0]
+        ceil_i = jax.lax.dynamic_slice_in_dim(ceil_T, i - 1, 1, axis=0)[0]
+        # winrow[t] = win[i - 1 + t]; hc(b) = winrow[b+1],
+        # hc(j-1)(b) = winrow[b].
+        winrow = jax.lax.dynamic_slice_in_dim(win, i - 1, B + 1, axis=0)
+        simrow = jax.lax.dynamic_slice(simband, (i - 1, 0, 0), (1, B, M))[0]
         row_live = alive_c & (i <= dpth)
-        ceil_i = node_ceil[node_i]
-        pc_prev = path_cls_flat[f * Lmax + jnp.maximum(i - 2, 0)]
 
         cons_pen, cons_cnt = grid_init()   # consuming arrivals (diag/swap)
         new_pen, new_cnt = grid_init()     # full continuation channel
         hcs = []
         for b in range(B):
             j = i + (b - E)  # haystack symbols consumed at this cell
-            hc = hay_at(cand_start + j - 1)
+            hc = winrow[b + 1]
             hcs.append(hc)
-            hc_jm1 = hay_at(cand_start + j - 2)
-            sim = sim_flat[pc * C + jnp.maximum(hc, 0)]
+            hc_jm1 = winrow[b]
+            sim = simrow[b]
             spen = jnp.float32(p_sub * (np.float32(1.0) - sim))
             j_ok = j >= 1
             for e in range(NE):
@@ -298,21 +391,26 @@ def _banded_dp(
                 newe_pen[b][e] = jnp.where(edead, INF, ep)
                 newe_cnt[b][e] = ec
 
+        # Latch the emission row where i == depth. Kept as B x NE lists of
+        # [M] vectors — a stacked [M, B, NE] carry would be lane-padded to
+        # (8, 128) minor dims and cost 512x its logical bytes every step.
         emit_here = row_live & (i == dpth)
-        stack = lambda g: jnp.stack([jnp.stack(col, axis=1) for col in g], axis=1)
-        emit_pen = jnp.where(emit_here[:, None, None], stack(newe_pen), emit_pen)
-        emit_cnt = jnp.where(emit_here[:, None, None], stack(newe_cnt), emit_cnt)
+        for b in range(B):
+            for e in range(NE):
+                emit_pen[b][e] = jnp.where(emit_here, newe_pen[b][e], emit_pen[b][e])
+                emit_cnt[b][e] = jnp.where(emit_here, newe_cnt[b][e], emit_cnt[b][e])
         carry = (prev_pen, prev_cnt, new_pen, new_cnt,
                  newe_pen, newe_cnt, emit_pen, emit_cnt)
         return carry, None
 
-    init = (
-        pen_m1, cnt_m1, pen0, cnt0, pen_e0, cnt_e0,
-        jnp.full((M, B, NE), INF, jnp.float32), jnp.zeros((M, B, NE), jnp.int32),
-    )
+    epen0, ecnt0 = grid_init()
+    init = (pen_m1, cnt_m1, pen0, cnt0, pen_e0, cnt_e0, epen0, ecnt0)
     carry, _ = jax.lax.scan(step, init, jnp.arange(1, Lmax + 1, dtype=jnp.int32))
     emit_pen, emit_cnt = carry[6], carry[7]
-    return emit_pen, emit_cnt
+    # [B*NE, M] (candidate axis last; callers index rows b * NE + e).
+    pen_flat = jnp.stack([emit_pen[b][e] for b in range(B) for e in range(NE)])
+    cnt_flat = jnp.stack([emit_cnt[b][e] for b in range(B) for e in range(NE)])
+    return pen_flat, cnt_flat
 
 
 # ---------------------------------------------------------------------------
@@ -378,59 +476,61 @@ def _dp_pipeline_jit(
     cand_field = jnp.where(cidx >= 0, cf_all[csafe], -1)
     cand_start = jnp.where(cidx >= 0, cs_all[csafe], 0)
 
-    emit_pen, emit_cnt = _banded_dp(
+    pen_flat, cnt_flat = _banded_dp(
         cand_field, cand_start,
         path_cls_flat, path_node_flat, depth_arr,
         ids_dense, limit, sim_flat, node_ceil,
         max_pen, p_sub, p_ins, p_del, p_swap, floor,
         E, Lmax, C,
-    )
+    )                                             # [B*NE, M] each
 
-    # Emission: candidate x band x edit-count channel x output pattern.
+    # Emission: channel-major (band, edit-count, output-pattern) x candidate
+    # — all [M] vectors, candidate axis last, so nothing is lane-padded.
     NE = E + 1
+    alive = cand_field >= 0
     fsafe = jnp.maximum(cand_field, 0)
     d = depth_arr[fsafe]
     node = node_arr[fsafe]
     pats = out_list[node]                         # [CAND, MO]
-    ends_e = cand_start[:, None] + d[:, None] + (
-        jnp.arange(B, dtype=jnp.int32) - E
-    )[None, :]                                    # [CAND, B]
-    e_ok = (
-        (cand_field >= 0)[:, None, None, None]
-        & jnp.isfinite(emit_pen)[:, :, :, None]
-        & (ends_e <= limit)[:, :, None, None]
-        & (ends_e >= cand_start[:, None])[:, :, None, None]
-        & (pats >= 0)[:, None, None, :]
-    )
-    total_pat = pat_len[jnp.maximum(pats, 0)]     # [CAND, MO]
-    weight = pat_weight[jnp.maximum(pats, 0)]
-    pen_safe = jnp.where(jnp.isfinite(emit_pen), emit_pen, 0.0)
-    sim = (
-        (total_pat[:, None, None, :] - pen_safe[:, :, :, None])
-        / total_pat[:, None, None, :]
-    ) * weight[:, None, None, :]
-    e_ok &= sim >= thr - (np.float32(1e-4) + np.float32(1e-4) * jnp.abs(thr))
+    slack = np.float32(1e-4) + np.float32(1e-4) * jnp.abs(thr)
+    ok_rows = []
+    for b in range(B):
+        ends_b = cand_start + d + (b - E)
+        span_ok = alive & (ends_b <= limit) & (ends_b >= cand_start)
+        for e in range(NE):
+            pen_be = pen_flat[b * NE + e]
+            fin = jnp.isfinite(pen_be)
+            pen_s = jnp.where(fin, pen_be, 0.0)
+            for o in range(MO):
+                p_o = pats[:, o]
+                pl = pat_len[jnp.maximum(p_o, 0)]
+                sim = ((pl - pen_s) / pl) * pat_weight[jnp.maximum(p_o, 0)]
+                ok_rows.append(
+                    span_ok & fin & (p_o >= 0) & (sim >= thr - slack)
+                )
+    e_ok = jnp.stack(ok_rows, axis=0)             # [B*NE*MO, M]
 
     total, gidx = compact_indices(e_ok.reshape(-1), KG)
     gsafe = jnp.maximum(gidx, 0)
-    o = gsafe % MO
-    rest = gsafe // MO
-    e = rest % NE
-    rest = rest // NE
-    b = rest % B
-    m = rest // B
+    m = gsafe % CAND
+    chan = gsafe // CAND
+    o = chan % MO
+    be = chan // MO                               # = b * NE + e
+    b = be // NE
     ok = gidx >= 0
     rows = jnp.stack(
         [
             jnp.where(ok, cand_start[m], -1),
             jnp.where(ok, d[m] + (b - E), 0),
-            jnp.where(ok, pats[m, o], 0),
+            jnp.where(ok, pats.reshape(-1)[m * MO + o], 0),
             jnp.where(
                 ok,
-                jax.lax.bitcast_convert_type(pen_safe[m, b, e], jnp.int32),
+                jax.lax.bitcast_convert_type(
+                    pen_flat.reshape(-1)[be * CAND + m], jnp.int32
+                ),
                 0,
             ),
-            jnp.where(ok, emit_cnt[m, b, e], 0),
+            jnp.where(ok, cnt_flat.reshape(-1)[be * CAND + m], 0),
             jnp.zeros((KG,), jnp.int32),
         ],
         axis=1,

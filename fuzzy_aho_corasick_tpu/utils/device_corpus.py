@@ -27,6 +27,10 @@ import numpy as np
 CAPACITY_BYTES = 4 << 30
 #: Smallest bucketed length (keeps tiny corpora off the recompile treadmill).
 MIN_BUCKET = 1 << 16
+#: Guaranteed dead-symbol tail past ``n`` in every resident buffer, so
+#: kernels may read fixed-width windows starting anywhere < n without
+#: clamping (the DP verify kernel slices ``Lmax + E <= 69`` symbols ahead).
+TAIL_MARGIN = 128
 
 _lru: "OrderedDict[tuple, tuple]" = OrderedDict()  # key -> (hay, dev, n)
 _held_bytes = 0
@@ -68,7 +72,7 @@ def resident(
 
     ids = transcode(haystack)
     n = len(ids)
-    nb = bucket_len(max(n, 1))
+    nb = bucket_len(max(n, 1) + TAIL_MARGIN)
     pad = np.zeros(nb, dtype=ids.dtype)
     pad[:n] = ids
     dev = jax.device_put(pad)
