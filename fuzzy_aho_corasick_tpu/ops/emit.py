@@ -62,33 +62,16 @@ def decode_matches(
     win = order[first]
 
     hay_bytes = haystack.encode("utf-8")
-    is_ascii = view.ascii
-    patterns = engine._patterns
-    results: List[FuzzyMatch] = []
-    for idx in win:
-        sg = int(start_g[idx])
-        eg = int(end_g[idx])
-        sb = sg if is_ascii else view.byte_offset(sg)
-        eb = eg if is_ascii else (view.byte_offset(eg) if eg < n else len(hay_bytes))
-        c = int(cnts[idx])
-        ins_c = c & 0xFF
-        del_c = (c >> 8) & 0xFF
-        sub_c = (c >> 16) & 0xFF
-        swap_c = (c >> 24) & 0xFF
-        p = int(pat[idx])
-        results.append(
-            FuzzyMatch(
-                insertions=ins_c,
-                deletions=del_c,
-                substitutions=sub_c,
-                swaps=swap_c,
-                edits=ins_c + del_c + sub_c + swap_c,
-                pattern_index=p,
-                pattern=patterns[p],
-                start=sb,
-                end=eb,
-                similarity=np.float32(sim[idx]),
-                text=hay_bytes[sb:eb].decode("utf-8"),
-            )
-        )
-    return results
+    sg = start_g[win]
+    eg = end_g[win]
+    offs = view.offsets_array(len(hay_bytes))
+    if offs is None:  # ASCII: byte offset == grapheme index
+        sb, eb = sg, eg
+    else:
+        sb, eb = offs[sg], offs[eg]
+    from ..structs import LazyMatchList
+
+    return LazyMatchList(
+        engine._patterns, hay_bytes, sb, eb, pat[win],
+        np.asarray(sim[win], dtype=np.float32), cnts[win],
+    )

@@ -208,35 +208,49 @@ def exact_search_packed(engine, haystack: str, threshold: float, view) -> Option
     hay_bytes = haystack.encode("utf-8")
     is_ascii = view.ascii
     n = len(haystack) if is_ascii else len(view)
-    patterns = engine._patterns
-    nodes = engine.nodes
+    dense = engine.dense
     engine.last_stats = {
         "backend": "device-exact-packed",
         "positions": int(n),
         "emissions": int(len(ends)),
     }
-    results: List[FuzzyMatch] = []
-    for e, fi in zip(ends, fidx):
-        if not field_alive[fi]:
-            continue
-        ni, depth, _lw, _fo, _path = pk.fields[fi]
-        start_g = int(e) - depth
-        end_g = int(e)
-        sb = start_g if is_ascii else view.byte_offset(start_g)
-        eb = end_g if is_ascii else (view.byte_offset(end_g) if end_g < n else len(hay_bytes))
-        text = hay_bytes[sb:eb].decode("utf-8")
-        for p in nodes[ni].output:
-            sim = np.float32(patterns[p].weight)
-            if sim < thr:
-                continue
-            results.append(
-                FuzzyMatch(
-                    insertions=0, deletions=0, substitutions=0, swaps=0, edits=0,
-                    pattern_index=int(p), pattern=patterns[p],
-                    start=sb, end=eb, similarity=sim, text=text,
-                )
-            )
-    return results
+
+    # Vectorized emission: field hits -> per-output-pattern match columns
+    # (reference emission src/search.rs:659-737; exact similarity is the
+    # pattern weight). Object construction is deferred (structs.LazyMatchList).
+    from ..structs import LazyMatchList
+
+    keep = field_alive[fidx]
+    ends = np.asarray(ends, dtype=np.int64)[keep]
+    fidx = np.asarray(fidx, dtype=np.int64)[keep]
+    depth_arr = np.asarray([d for _, d, _, _, _ in pk.fields], dtype=np.int64)
+    node_arr = np.asarray([ni for ni, _, _, _, _ in pk.fields], dtype=np.int64)
+    start_g = ends - depth_arr[fidx]
+    node = node_arr[fidx]
+    pats = dense.out_list[node]                                # [H, MO]
+    cols_s, cols_e, cols_p = [], [], []
+    for o in range(pats.shape[1]):
+        p_o = pats[:, o].astype(np.int64)
+        ok = (p_o >= 0) & (dense.pat_weight[np.maximum(p_o, 0)] >= thr)
+        if ok.any():
+            cols_s.append(start_g[ok])
+            cols_e.append(ends[ok])
+            cols_p.append(p_o[ok])
+    if not cols_s:
+        return []
+    sg = np.concatenate(cols_s)
+    eg = np.concatenate(cols_e)
+    pat = np.concatenate(cols_p)
+    sim = dense.pat_weight[pat].astype(np.float32)
+    offs = view.offsets_array(len(hay_bytes))
+    if offs is None:
+        sb, eb = sg, eg
+    else:
+        sb, eb = offs[sg], offs[eg]
+    return LazyMatchList(
+        engine._patterns, hay_bytes, sb, eb, pat, sim,
+        np.zeros(len(pat), dtype=np.int64),
+    )
 
 
 def exact_search_device(engine, haystack: str, threshold: float, view=None) -> List["FuzzyMatch"]:

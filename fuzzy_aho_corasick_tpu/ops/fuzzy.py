@@ -518,7 +518,7 @@ def _fuzzy1_scan_kernel(*args, C, T, K):
     ),
 )
 def _fuzzy1_pipeline_jit(
-    ids_pf, plane_tbl, pf_starts, pf_match, pf_init,
+    ids_pf, word_tbl, pf_starts, pf_match, pf_init,
     goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
     out_count, out_list, pat_len, pat_weight, node_ceil,
     ids_dense, limit,
@@ -545,7 +545,7 @@ def _fuzzy1_pipeline_jit(
     from .packed_bitap import anchor_covered_flags
 
     covered = anchor_covered_flags(
-        ids_pf, plane_tbl, pf_starts, pf_match, pf_init, limit,
+        ids_pf, word_tbl, pf_starts, pf_match, pf_init, limit,
         A, W, NL, TB, grid, chunkpf, halo, k, span,
     )
     count_a, aidx = compact_indices(covered, KA)
@@ -665,7 +665,7 @@ def _fuzzy1_fused(engine, haystack: str, thr, view, n: int, T: int, max_pen, cei
         engine,
         ("anchor-consts", NL, float(thr)),
         lambda: (
-            jax.device_put(pk.plane_tbl),
+            jax.device_put(pk.word_tbl),
             _bcast(pk.starts, NL),
             _bcast(match, NL),
             _bcast(init, NL),

@@ -33,9 +33,13 @@ Two packings:
   multi-pattern single-pass form of the reference's per-pattern prefilter
   windows (src/prefilter.rs:304-374).
 
-Division of labor (same as bitap_tpu): per-symbol limb words come from exact
-byte-plane one-hot matmuls (MXU) outside the kernel; the kernel is pure u32
-bitwise VPU work on VMEM blocks with persistent recurrence scratch.
+The kernel streams the RAW id bytes (1 byte/symbol of HBM traffic) and
+expands each symbol to its 2W u32 limb words inside VMEM — one select per
+(symbol, half-word) against an SMEM word table — then runs the pure-bitwise
+recurrence with persistent scratch. (An earlier design computed the words
+outside the kernel with a one-hot byte-plane einsum; materializing ~28
+bytes/symbol of planes through HBM cost ~35 ms per 37 M symbols vs ~0.4 ms
+for the scan itself.)
 """
 
 from __future__ import annotations
@@ -80,15 +84,15 @@ def _pack_fields(lengths: List[int]) -> Optional[List[Tuple[int, int]]]:
     return out
 
 
-def _plane_table(limb: np.ndarray, A: int, W: int) -> np.ndarray:
-    """[A, W] u64 per-symbol limb words -> [A, 8W] f32 byte planes."""
-    tbl = np.zeros((A, 8 * W), dtype=np.float32)
+def _word_table(limb: np.ndarray, A: int, W: int) -> np.ndarray:
+    """[A, W] u64 per-symbol limb words -> [A, 2W] i32 (u32 bit patterns;
+    symbol 0 is the dead/pad class and must stay all-zero — the kernel's
+    select loop skips it)."""
+    tbl = np.zeros((A, 2 * W), dtype=np.uint32)
     for lw in range(W):
-        for b in range(8):
-            tbl[:, 8 * lw + b] = (
-                (limb[:, lw] >> np.uint64(8 * b)) & np.uint64(0xFF)
-            ).astype(np.float32)
-    return tbl
+        tbl[:, 2 * lw] = (limb[:, lw] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        tbl[:, 2 * lw + 1] = (limb[:, lw] >> np.uint64(32)).astype(np.uint32)
+    return tbl.view(np.int32)
 
 
 def _starts_mask(offsets: List[Tuple[int, int]], W: int) -> np.ndarray:
@@ -115,14 +119,14 @@ class PackedExact:
     the one-hot plane matmul is linear in the alphabet, so a 20-symbol
     dictionary costs ~6x less than the full 129-class ASCII space."""
 
-    __slots__ = ("W", "A", "fields", "plane_tbl", "starts", "m_max", "ascii_tbl", "remap")
+    __slots__ = ("W", "A", "fields", "word_tbl", "starts", "m_max", "ascii_tbl", "remap")
 
-    def __init__(self, W, A, fields, plane_tbl, starts, m_max, ascii_tbl, remap):
+    def __init__(self, W, A, fields, word_tbl, starts, m_max, ascii_tbl, remap):
         self.W = W
         self.A = A
         #: per field: (node_id, depth, limb, bit, path node ids)
         self.fields = fields
-        self.plane_tbl = plane_tbl
+        self.word_tbl = word_tbl
         self.starts = starts
         self.m_max = m_max
         self.ascii_tbl = ascii_tbl  # byte -> packed symbol (u8[256])
@@ -177,7 +181,7 @@ class PackedExact:
             remap[cid] = sym
         ascii_tbl = remap[np.minimum(dense.ascii_class, dense.num_classes - 1)].astype(np.uint8)
         return PackedExact(
-            W, A, fields, _plane_table(limb, A, W), _starts_mask(offsets, W),
+            W, A, fields, _word_table(limb, A, W), _starts_mask(offsets, W),
             max(lengths), ascii_tbl, remap,
         )
 
@@ -199,15 +203,15 @@ class PackedExact:
 class PackedFuzzy:
     """Pattern packing with per-pattern row budgets (prefilter model)."""
 
-    __slots__ = ("filt", "W", "A", "offsets", "ms", "plane_tbl", "starts", "m_max")
+    __slots__ = ("filt", "W", "A", "offsets", "ms", "word_tbl", "starts", "m_max")
 
-    def __init__(self, filt, W, A, offsets, ms, plane_tbl, starts, m_max):
+    def __init__(self, filt, W, A, offsets, ms, word_tbl, starts, m_max):
         self.filt = filt
         self.W = W
         self.A = A
         self.offsets = offsets
         self.ms = ms
-        self.plane_tbl = plane_tbl
+        self.word_tbl = word_tbl
         self.starts = starts
         self.m_max = m_max
 
@@ -235,7 +239,7 @@ class PackedFuzzy:
         for bp, (lw, lo) in zip(filt.patterns, offsets):
             limb[: len(bp.mask), lw] |= bp.mask << np.uint64(lo)
         return PackedFuzzy(
-            filt, W, A, offsets, ms, _plane_table(limb, A, W),
+            filt, W, A, offsets, ms, _word_table(limb, A, W),
             _starts_mask(offsets, W), max(ms),
         )
 
@@ -263,13 +267,13 @@ def _shl1(lo, hi):
     return lo << one, (hi << one) | jax.lax.shift_right_logical(lo, jnp.uint32(31))
 
 
-def _kernel_factory(k: int, W: int, NL: int, TB: int, emit_words: bool):
-    def kern(starts_ref, match_ref, init_ref, *rest):
-        # rest = 2W bc refs, flag_ref, [2W words refs], r_ref
-        bc_refs = rest[: 2 * W]
-        flag_ref = rest[2 * W]
-        words_refs = rest[2 * W + 1 : 4 * W + 1] if emit_words else None
-        r_ref = rest[-1]
+def _kernel_factory(k: int, W: int, NL: int, TB: int, emit_words: bool, A: int):
+    def kern(tbl_ref, starts_ref, match_ref, init_ref, lanes_ref, *rest):
+        # rest = flag_ref, [2W words refs], r_ref, wsc_ref
+        flag_ref = rest[0]
+        words_refs = rest[1 : 1 + 2 * W] if emit_words else None
+        r_ref = rest[-2]
+        wsc_ref = rest[-1]
 
         @pl.when(pl.program_id(0) == 0)
         def _():
@@ -277,11 +281,24 @@ def _kernel_factory(k: int, W: int, NL: int, TB: int, emit_words: bool):
                 for i in range(2 * W):
                     r_ref[d, i, :] = init_ref[d, i, :]
 
+        # Per-symbol limb words computed IN the kernel: one select per
+        # (symbol, u32 half) over the block's raw ids. This keeps the
+        # kernel's HBM input at 1 byte/symbol — the former host-side one-hot
+        # einsum materialized ~28 bytes/symbol of planes and dominated the
+        # whole pass (~35 ms per 37 M symbols vs ~0.4 ms for the scan).
+        lanes = lanes_ref[...].astype(jnp.int32)          # [TB, NL]
+        for i in range(2 * W):
+            acc = jnp.zeros((TB, NL), jnp.uint32)
+            for c in range(1, A):
+                wv = tbl_ref[c, i].astype(jnp.uint32)     # SMEM scalar
+                acc = jnp.where(lanes == c, wv, acc)
+            wsc_ref[i, :, :] = acc
+
         starts = [starts_ref[i, :] for i in range(2 * W)]
         match = [[match_ref[d, i, :] for i in range(2 * W)] for d in range(k + 1)]
 
         def body(t, _):
-            bc = [bc_refs[i][t, :] for i in range(2 * W)]
+            bc = [wsc_ref[i, t, :] for i in range(2 * W)]
 
             new = [[None] * (2 * W) for _ in range(k + 1)]
             prev = [[r_ref[d, i, :] for i in range(2 * W)] for d in range(k + 1)]
@@ -350,26 +367,8 @@ def _lanes_of(ids_pad, NL, chunk, halo, rows):
     return jnp.pad(lanes, ((0, rows - halo - chunk), (0, 0)))
 
 
-def _bc_of(lanes, plane_tbl, A, W, rows, NL):
-    """Per-symbol limb words via exact one-hot byte-plane matmul (values
-    <= 255 stay exact in bf16): list of 2W [rows, NL] u32 arrays."""
-    oh = jax.nn.one_hot(lanes.reshape(-1).astype(jnp.int32), A, dtype=jnp.bfloat16)
-    planes = jnp.einsum(
-        "nc,cp->pn", oh, plane_tbl.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.uint32)
-    p = planes.reshape(8 * W, rows, NL)
-    e8, e16, e24 = jnp.uint32(8), jnp.uint32(16), jnp.uint32(24)
-    bc = []
-    for lw in range(W):
-        b = p[8 * lw : 8 * lw + 8]
-        bc.append(b[0] | (b[1] << e8) | (b[2] << e16) | (b[3] << e24))
-        bc.append(b[4] | (b[5] << e8) | (b[6] << e16) | (b[7] << e24))
-    return bc
-
-
-def _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, emit_words, rows):
-    kern = _kernel_factory(k, W, NL, TB, emit_words)
+def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, emit_words, rows):
+    kern = _kernel_factory(k, W, NL, TB, emit_words, A)
     out_shape = [jax.ShapeDtypeStruct((rows, NL), jnp.int32)]
     out_specs = [pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM)]
     if emit_words:
@@ -383,18 +382,19 @@ def _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, emit_words, rows):
         out_shape=out_shape,
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [A, 2W] i32 word table
             pl.BlockSpec((2 * W, NL), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k + 1, 2 * W, NL), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k + 1, 2 * W, NL), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
-        ]
-        + [
-            pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM)
-            for _ in range(2 * W)
+            pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((k + 1, 2 * W, NL), jnp.uint32)],
+        scratch_shapes=[
+            pltpu.VMEM((k + 1, 2 * W, NL), jnp.uint32),
+            pltpu.VMEM((2 * W, TB, NL), jnp.uint32),
+        ],
         interpret=_interpret(),
-    )(starts, match, init, *bc)
+    )(word_tbl, starts, match, init, lanes)
     if emit_words:
         return outs[0], list(outs[1:])
     return outs[0], None
@@ -404,7 +404,7 @@ def _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, emit_words, rows):
     jax.jit,
     static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K"),
 )
-def _packed_exact_jit(ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K):
+def _packed_exact_jit(ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K):
     """ids [NL*chunk] u8 -> one int32 buffer [1 + K, 1 + 2W]: row 0 col 0 is
     the hit count, row 1+j is (stream position, match words) for hit j.
 
@@ -414,8 +414,9 @@ def _packed_exact_jit(ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, gri
     field (and never a scalar sync)."""
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
-    bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
-    flag, words = _pallas_scan(bc, starts, match, init, 0, W, NL, TB, grid, True, rows)
+    flag, words = _pallas_scan(
+        lanes, word_tbl, starts, match, init, 0, W, A, NL, TB, grid, True, rows
+    )
 
     # Compact in lane layout (no transpose): flat index f = r2 * NL + l for
     # row halo + r2, lane l; stream position = l * chunk + r2.
@@ -434,7 +435,7 @@ def _packed_exact_jit(ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, gri
 
 
 def packed_hits(
-    ids_pad, plane_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, k, KH
+    ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, k, KH
 ):
     """Traceable shift-AND pass emitting per-hit (end positions, match words).
 
@@ -445,8 +446,9 @@ def packed_hits(
     field fired where, instead of a dilated any-flag."""
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
-    bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
-    flag, words = _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, True, rows)
+    flag, words = _pallas_scan(
+        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, True, rows
+    )
     flag2 = flag[halo : halo + chunk].reshape(-1)
     count, idx = compact_indices(flag2, KH)
     safe = jnp.maximum(idx, 0)
@@ -460,7 +462,7 @@ def packed_hits(
 
 
 def anchor_covered_flags(
-    ids_pad, plane_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span
+    ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span
 ):
     """Hit flags in stream order, dilated backwards by the window span:
     int32 [NL * chunk], 1 = position may start a fuzzy match. ``n`` is a
@@ -470,8 +472,9 @@ def anchor_covered_flags(
     (ops/fuzzy._fuzzy1_pipeline_jit)."""
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
-    bc = _bc_of(lanes, plane_tbl, A, W, rows, NL)
-    flag, _ = _pallas_scan(bc, starts, match, init, k, W, NL, TB, grid, False, rows)
+    flag, _ = _pallas_scan(
+        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, False, rows
+    )
     flat = flag[halo : halo + chunk].T.reshape(-1)
     return dilate_any(flat, span) & (jnp.arange(flat.shape[0], dtype=jnp.int32) < n)
 
@@ -481,12 +484,12 @@ def anchor_covered_flags(
     static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K", "k", "span"),
 )
 def _packed_anchors_jit(
-    ids_pad, plane_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, K, k, span
+    ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, K, k, span
 ):
     """Compacted anchor positions as one int32 buffer: [0] = count,
     [1:] = positions (one device_get on the host side)."""
     covered = anchor_covered_flags(
-        ids_pad, plane_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span
+        ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span
     )
     count, idx = compact_indices(covered, K)
     return jnp.concatenate([count[None], idx])
@@ -597,7 +600,7 @@ def _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo):
         engine,
         ("exact-consts", NL),
         lambda: (
-            jax.device_put(pk.plane_tbl),
+            jax.device_put(pk.word_tbl),
             _bcast(pk.starts, NL),
             _bcast(pk.match_mask(), NL),
             jax.device_put(np.zeros((1, 2 * pk.W, NL), np.uint32)),
@@ -700,7 +703,7 @@ def fuzzy_anchors_packed(engine, haystack: str, threshold: np.float32) -> Option
             engine,
             ("anchor-consts", NL, float(threshold)),
             lambda: (
-                jax.device_put(pk.plane_tbl),
+                jax.device_put(pk.word_tbl),
                 _bcast(pk.starts, NL),
                 _bcast(match, NL),
                 _bcast(init, NL),

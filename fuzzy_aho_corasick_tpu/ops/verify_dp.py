@@ -239,7 +239,6 @@ def _banded_dp(
         lb_rows.append(jnp.where(idx >= 0, sym, -1))
     win_rows = lb_rows + main_rows
     win_rows = list(jax.lax.optimization_barrier(tuple(win_rows)))
-    win = jnp.stack(win_rows, axis=0)                          # [WLEN, M]
 
     # Similarity band: simband[l, b, m] = sim(path_cls[f, l], win[l+1+b, m]),
     # bit-exact f32. For small alphabets: free row-gather of the per-field
@@ -257,7 +256,6 @@ def _banded_dp(
                 for c in range(C):
                     acc = jnp.where(hc == c, spg_T[l * C + c], acc)
                 sb_rows.append(acc)
-        simband = jnp.stack(sb_rows, axis=0).reshape(Lmax, B, M)
     else:
         pcg = path_cls2d[f]                                    # [M, Lmax]
         sb_rows = []
@@ -267,7 +265,6 @@ def _banded_dp(
                 hc = win_rows[l + 1 + b]
                 key = pc_l * C + jnp.maximum(hc, 0)
                 sb_rows.append(sim_flat[key])
-        simband = jnp.stack(sb_rows, axis=0).reshape(Lmax, B, M)
 
     def grid_init():
         pen = [[jnp.full((M,), INF, jnp.float32) for _ in range(NE)] for _ in range(B)]
@@ -288,18 +285,11 @@ def _banded_dp(
         take = op < bp
         return jnp.where(take, op, bp), jnp.where(take, oc, bc)
 
-    def step(carry, i):
+    def step_body(carry, i, pc, pc_prev, ceil_i, winrow, simrow):
+        """One DP row. ``i`` may be a python int (unrolled) or a traced
+        scalar (lax.scan); ``winrow``/``simrow`` index like sequences."""
         (prev2_pen, prev2_cnt, prev_pen, prev_cnt,
          preve_pen, preve_cnt, emit_pen, emit_cnt) = carry
-        pc = jax.lax.dynamic_slice_in_dim(pcls_T, i - 1, 1, axis=0)[0]
-        pc_prev = jax.lax.dynamic_slice_in_dim(
-            pcls_T, jnp.maximum(i - 2, 0), 1, axis=0
-        )[0]
-        ceil_i = jax.lax.dynamic_slice_in_dim(ceil_T, i - 1, 1, axis=0)[0]
-        # winrow[t] = win[i - 1 + t]; hc(b) = winrow[b+1],
-        # hc(j-1)(b) = winrow[b].
-        winrow = jax.lax.dynamic_slice_in_dim(win, i - 1, B + 1, axis=0)
-        simrow = jax.lax.dynamic_slice(simband, (i - 1, 0, 0), (1, B, M))[0]
         row_live = alive_c & (i <= dpth)
 
         cons_pen, cons_cnt = grid_init()   # consuming arrivals (diag/swap)
@@ -399,13 +389,38 @@ def _banded_dp(
             for e in range(NE):
                 emit_pen[b][e] = jnp.where(emit_here, newe_pen[b][e], emit_pen[b][e])
                 emit_cnt[b][e] = jnp.where(emit_here, newe_cnt[b][e], emit_cnt[b][e])
-        carry = (prev_pen, prev_cnt, new_pen, new_cnt,
-                 newe_pen, newe_cnt, emit_pen, emit_cnt)
-        return carry, None
+        return (prev_pen, prev_cnt, new_pen, new_cnt,
+                newe_pen, newe_cnt, emit_pen, emit_cnt)
 
     epen0, ecnt0 = grid_init()
     init = (pen_m1, cnt_m1, pen0, cnt0, pen_e0, cnt_e0, epen0, ecnt0)
-    carry, _ = jax.lax.scan(step, init, jnp.arange(1, Lmax + 1, dtype=jnp.int32))
+    if Lmax <= 24:
+        # Unrolled: static row indexing, and XLA fuses across DP rows —
+        # a lax.scan body dispatches its fused kernels once per row, and
+        # per-dispatch overhead (not bandwidth) dominates at [M] sizes.
+        carry = init
+        for i in range(1, Lmax + 1):
+            winrow = [win_rows[i - 1 + t] for t in range(B + 1)]
+            simrow = [sb_rows[(i - 1) * B + b] for b in range(B)]
+            carry = step_body(
+                carry, i, pcls_T[i - 1], pcls_T[max(i - 2, 0)],
+                ceil_T[i - 1], winrow, simrow,
+            )
+    else:
+        win = jnp.stack(win_rows, axis=0)                      # [WLEN, M]
+        simband = jnp.stack(sb_rows, axis=0).reshape(Lmax, B, M)
+
+        def step(carry, i):
+            pc = jax.lax.dynamic_slice_in_dim(pcls_T, i - 1, 1, axis=0)[0]
+            pc_prev = jax.lax.dynamic_slice_in_dim(
+                pcls_T, jnp.maximum(i - 2, 0), 1, axis=0
+            )[0]
+            ceil_i = jax.lax.dynamic_slice_in_dim(ceil_T, i - 1, 1, axis=0)[0]
+            winrow = jax.lax.dynamic_slice_in_dim(win, i - 1, B + 1, axis=0)
+            simrow = jax.lax.dynamic_slice(simband, (i - 1, 0, 0), (1, B, M))[0]
+            return step_body(carry, i, pc, pc_prev, ceil_i, winrow, simrow), None
+
+        carry, _ = jax.lax.scan(step, init, jnp.arange(1, Lmax + 1, dtype=jnp.int32))
     emit_pen, emit_cnt = carry[6], carry[7]
     # [B*NE, M] (candidate axis last; callers index rows b * NE + e).
     pen_flat = jnp.stack([emit_pen[b][e] for b in range(B) for e in range(NE)])
@@ -426,7 +441,7 @@ def _banded_dp(
     ),
 )
 def _dp_pipeline_jit(
-    ids_pf, plane_tbl, pf_starts, pf_match, pf_init,
+    ids_pf, word_tbl, pf_starts, pf_match, pf_init,
     depth_arr, node_arr, path_cls_flat, path_node_flat,
     out_list, pat_len, pat_weight,
     ids_dense, limit,
@@ -447,7 +462,7 @@ def _dp_pipeline_jit(
     from .packed_bitap import packed_hits
 
     count_h, pos, words = packed_hits(
-        ids_pf, plane_tbl, pf_starts, pf_match, pf_init,
+        ids_pf, word_tbl, pf_starts, pf_match, pf_init,
         A, W, NL, TB, grid, chunkpf, halo, k, KH,
     )
     hit_ok = (pos >= 0) & (pos < limit)
@@ -606,7 +621,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
         engine,
         ("anchor-consts", NL, float(thr)),
         lambda: (
-            jax.device_put(pk.plane_tbl),
+            jax.device_put(pk.word_tbl),
             _bcast(pk.starts, NL),
             _bcast(match, NL),
             _bcast(init, NL),

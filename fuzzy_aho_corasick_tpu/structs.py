@@ -269,6 +269,83 @@ class FuzzyMatch:
     text: str
 
 
+class LazyMatchList:
+    """List of :class:`FuzzyMatch` materialized on demand from
+    struct-of-arrays columns.
+
+    The device kernels return match tuples as numpy columns (start/end byte
+    offsets, pattern index, f32 similarity, packed edit counts). All match
+    DATA is fully computed; only the Python object per match is deferred —
+    ``len()``, emptiness and slicing metadata cost nothing, and a caller that
+    never touches individual matches (counting, threshold sweeps) skips the
+    ~2 us/object construction entirely. First element access materializes the
+    whole list once and the object then behaves as a plain list.
+    """
+
+    __slots__ = ("_patterns", "_hay_bytes", "_start", "_end", "_pat", "_sim", "_cnts", "_list")
+
+    def __init__(self, patterns, hay_bytes, start, end, pat, sim, cnts):
+        self._patterns = patterns
+        self._hay_bytes = hay_bytes
+        self._start = start
+        self._end = end
+        self._pat = pat
+        self._sim = sim
+        self._cnts = cnts
+        self._list = None
+
+    def _mat(self) -> list:
+        if self._list is None:
+            pats = self._patterns
+            hb = self._hay_bytes
+            cn = np.asarray(self._cnts, dtype=np.int64)
+            ins = cn & 0xFF
+            de = (cn >> 8) & 0xFF
+            su = (cn >> 16) & 0xFF
+            sw = (cn >> 24) & 0xFF
+            ed = ins + de + su + sw
+            sim = np.asarray(self._sim, dtype=np.float32)
+            self._list = [
+                FuzzyMatch(
+                    insertions=int(i_), deletions=int(d_), substitutions=int(u_),
+                    swaps=int(w_), edits=int(e_), pattern_index=int(p_),
+                    pattern=pats[int(p_)], start=int(s_), end=int(t_),
+                    similarity=m_, text=hb[int(s_):int(t_)].decode("utf-8"),
+                )
+                for i_, d_, u_, w_, e_, p_, s_, t_, m_ in zip(
+                    ins, de, su, sw, ed, self._pat, self._start, self._end, sim
+                )
+            ]
+        return self._list
+
+    def __len__(self) -> int:
+        return len(self._list) if self._list is not None else len(self._start)
+
+    def __bool__(self) -> bool:
+        return len(self) > 0
+
+    def __iter__(self):
+        return iter(self._mat())
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __repr__(self) -> str:
+        return repr(self._mat())
+
+    def __eq__(self, other):
+        return self._mat() == (other._mat() if isinstance(other, LazyMatchList) else other)
+
+    def sort(self, *a, **kw):
+        self._mat().sort(*a, **kw)
+
+    def append(self, x):
+        self._mat().append(x)
+
+    def extend(self, xs):
+        self._mat().extend(xs)
+
+
 @dataclass
 class UnmatchedSegment:
     """An unmatched run of the haystack (reference src/structs.rs:814-822)."""

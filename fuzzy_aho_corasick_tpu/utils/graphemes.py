@@ -70,12 +70,16 @@ class HaystackView:
     and folded first chars, with a zero-copy ASCII fast path.
     """
 
-    __slots__ = ("haystack", "ascii", "case_insensitive", "_texts", "_offsets", "_chars")
+    __slots__ = (
+        "haystack", "ascii", "case_insensitive", "_texts", "_offsets",
+        "_chars", "_offsets_np",
+    )
 
     def __init__(self, haystack: str, case_insensitive: bool):
         self.haystack = haystack
         self.case_insensitive = case_insensitive
         self.ascii = haystack.isascii()
+        self._offsets_np = None
         if self.ascii:
             self._texts = None
             self._offsets = None
@@ -105,6 +109,20 @@ class HaystackView:
         if self.ascii:
             return idx
         return self._offsets[idx]
+
+    def offsets_array(self, total_bytes: int):
+        """np.int64 [n+1] byte offsets with a ``total_bytes`` sentinel at n —
+        vectorized grapheme->byte conversion for match decode. None for the
+        ASCII path (offsets are the identity there)."""
+        if self.ascii:
+            return None
+        if self._offsets_np is None:
+            import numpy as np
+
+            self._offsets_np = np.asarray(
+                self._offsets + [total_bytes], dtype=np.int64
+            )
+        return self._offsets_np
 
     def text(self, idx: int) -> str:
         """The (folded) grapheme at ``idx`` (reference src/grapheme.rs:61,100)."""
