@@ -58,7 +58,10 @@ def main():
         "parturient",
     ]
 
-    corpus_mb = int(os.environ.get("BENCH_MB", "32"))
+    # 96 MiB default: large enough that the tunneled host link's fixed
+    # ~25 ms/transfer cost stops dominating, small enough that transcode +
+    # compile stay inside the driver's timeout. Override with BENCH_MB.
+    corpus_mb = int(os.environ.get("BENCH_MB", "96"))
     corpus = build_corpus(corpus_mb << 20)
     nbytes = len(corpus)
 

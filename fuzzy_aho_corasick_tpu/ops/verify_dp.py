@@ -131,6 +131,17 @@ class VerifyFields:
                             pat2field, nf_max)
 
 
+def _fine_cap(n: int, lo: int = 4096) -> int:
+    """Smallest capacity >= n of the form (8..15)/8 * 2^k (<= 12.5%
+    overshoot). Result-buffer bytes are link time (~64 MB/s tunnel), so
+    power-of-two capacity growth wasted up to half the transfer."""
+    b = lo
+    while b < n:
+        p = 1 << (b.bit_length() - 1)
+        b += p // 8 if b != p else b // 8
+    return b
+
+
 def verify_fields_of(engine) -> Optional[VerifyFields]:
     vf = getattr(engine, "_verify_fields_cache", None)
     if vf is None:
@@ -188,57 +199,74 @@ def _banded_dp(
 
     f = jnp.maximum(cand_field, 0)
     alive_c = cand_field >= 0
-    dpth = jnp.where(alive_c, depth_arr[f], 0)
+    WLEN = Lmax + 2 * E + 1
 
     # --- one-time pre-gather (per candidate) -----------------------------
-    # optimization_barrier forces the gather+transpose results to MATERIALIZE
-    # in [rows, M] layout: without it XLA fuses the lazy transpose into every
-    # consumer, re-running the per-candidate gather once per consuming op
-    # (measured ~0.2 ms x 700+ consumers = the whole kernel's former runtime).
+    # Random reads cost ~0.9 ms per gather OP on this target (latency-bound,
+    # nearly independent of bytes/read), while ALIGNED row gathers pull 32+
+    # bytes for the same price — so every per-candidate lookup below is
+    # batched into as few row gathers as possible. optimization_barrier
+    # forces the gather+transpose results to MATERIALIZE in [rows, M]
+    # layout: without it XLA fuses the lazy transpose into every consumer,
+    # re-running the per-candidate gather once per consuming op (measured
+    # ~0.2 ms x 700+ consumers = the whole kernel's former runtime).
     path_cls2d = path_cls_flat.reshape(F, Lmax)
     ceil_tab = node_ceil[path_node_flat.reshape(F, Lmax)]     # [F, Lmax]
-    pcls_T, ceil_T = jax.lax.optimization_barrier(
-        (path_cls2d[f].T, ceil_tab[f].T)                      # [Lmax, M] each
+    # depth rides as an extra column of the class-path row gather.
+    pc_d = jnp.concatenate([path_cls2d, depth_arr[:, None]], axis=1)
+    pcd_T, ceil_T = jax.lax.optimization_barrier(
+        (pc_d[f].T, ceil_tab[f].T)                # [Lmax+1, M], [Lmax, M]
     )
+    pcls_T = pcd_T[:Lmax]
+    dpth = jnp.where(alive_c, pcd_T[Lmax], 0)
 
-    # Haystack window: row o <-> hay(cand_start + o - E - 1), o in [0, WLEN).
-    # Rows 0..E are the lookback (element gathers, may index < 0); rows
-    # E+1.. come from packed-u32 word gathers: ceil(main_w/4)+1 gathers per
-    # candidate instead of main_w (cand_start >= 0, and resident buffers
-    # guarantee a >= 128 dead-symbol tail past n — device_corpus.TAIL_MARGIN
-    # — so word reads never need clamping for live candidates).
-    main_w = Lmax + E
-    main_rows = []
-    if ids_pad.dtype == jnp.uint8 and npad % 4 == 0:
-        ids32 = jax.lax.bitcast_convert_type(
+    # Haystack window: row o <-> hay(cand_start + o - E - 1), o in [0, WLEN)
+    # (rows 0..E are the lookback). Fetched as TWO aligned 32-byte row
+    # gathers per candidate from a [npad/32, 8]-u32 view, then per-column
+    # word selects + shifts (pure VPU) — vs one ~0.9 ms gather per word in
+    # the element-gather form. Resident buffers guarantee a >= 128
+    # dead-symbol tail (device_corpus.TAIL_MARGIN) so row reads never clamp
+    # for live candidates.
+    base_abs = cand_start - (E + 1)               # >= -(E+1)
+    win_rows = []
+    if ids_pad.dtype == jnp.uint8 and npad % 32 == 0 and WLEN <= 60:
+        ids_w32 = jax.lax.bitcast_convert_type(
             ids_pad.reshape(-1, 4), jnp.uint32
-        )                                                      # [npad/4]
-        nw32 = ids32.shape[0]
-        base_word = cand_start >> 2
-        phase = (cand_start & 3).astype(jnp.uint32)
-        NW = (main_w + 3) // 4 + 1
-        words = [
-            ids32[jnp.minimum(base_word + t, nw32 - 1)] for t in range(NW)
-        ]
-        for r in range(main_w):
-            w0 = r // 4
-            hi = (phase + jnp.uint32(r)) >> 2 > jnp.uint32(w0)
-            word = jnp.where(hi, words[min(w0 + 1, NW - 1)], words[w0])
-            sh = ((phase + jnp.uint32(r)) & 3) * jnp.uint32(8)
-            main_rows.append(((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32))
+        ).reshape(-1, 8)                           # [npad/32, 8]
+        nrows_mat = ids_w32.shape[0]
+        rb = jnp.maximum(base_abs, 0) >> 5
+        fetch = jnp.concatenate(
+            [
+                ids_w32[jnp.minimum(rb + t, nrows_mat - 1)]
+                for t in range(2)
+            ],
+            axis=1,
+        )                                          # [M, 16] u32
+        fetT = jax.lax.optimization_barrier(fetch.T)          # [16, M]
+        d0 = base_abs - (rb << 5)                  # byte offset, [-(E+1), 31]
+        for o in range(WLEN):
+            q = d0 + o                             # fetch byte index
+            q_c = jnp.maximum(q, 0)
+            wi = q_c >> 2
+            sh = ((q_c & 3) * 8).astype(jnp.uint32)
+            lo_w = max(0, (o - (E + 1)) >> 2)
+            hi_w = min(15, (o + 31) >> 2)
+            word = fetT[lo_w]
+            for s in range(lo_w + 1, hi_w + 1):
+                word = jnp.where(wi == s, fetT[s], word)
+            sym = ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+            abs_i = base_abs + o
+            win_rows.append(
+                jnp.where((abs_i >= 0) & (abs_i < limit), sym, -1)
+            )
     else:
-        for r in range(main_w):
-            idx = jnp.minimum(cand_start + r, npad - 1)
-            main_rows.append(ids_pad[idx].astype(jnp.int32))
-    for r in range(main_w):
-        main_rows[r] = jnp.where(cand_start + r < limit, main_rows[r], -1)
-    lb_rows = []
-    for t in range(E + 1):
-        idx = cand_start + (t - (E + 1))
-        sym = ids_pad[jnp.clip(idx, 0, npad - 1)].astype(jnp.int32)
-        lb_rows.append(jnp.where(idx >= 0, sym, -1))
-    win_rows = lb_rows + main_rows
-    win_rows = list(jax.lax.optimization_barrier(tuple(win_rows)))
+        for o in range(WLEN):
+            idx = base_abs + o
+            sym = ids_pad[jnp.clip(idx, 0, npad - 1)].astype(jnp.int32)
+            win_rows.append(
+                jnp.where((idx >= 0) & (idx < limit), sym, -1)
+            )
+        win_rows = list(jax.lax.optimization_barrier(tuple(win_rows)))
 
     # Similarity band: simband[l, b, m] = sim(path_cls[f, l], win[l+1+b, m]),
     # bit-exact f32. For small alphabets: free row-gather of the per-field
@@ -469,27 +497,47 @@ def _dp_pipeline_jit(
 
     # Candidate expansion (all-static loops: field ids and depths are python
     # ints, so no gathers): [n_combo, KH] -> compact to CAND.
+    #
+    # Run dedup: a hit run at consecutive ends e-1, e for the same pattern
+    # generates the same (field, start) from (e, b) and (e-1, b-1) — the DP
+    # for equal (field, start) is identical, so only the b == 0 copy (or the
+    # run's first end) is kept. True fuzzy matches fire several adjacent
+    # ends, so this cuts the candidate set ~2-3x before the DP.
     B = 2 * E + 1
     ends = pos + 1  # end-exclusive stream position of each hit
+    prev_same = jnp.concatenate(
+        [jnp.zeros((1,), bool), pos[1:] == pos[:-1] + 1]
+    )
+    words_prev = jnp.concatenate(
+        [jnp.zeros((1, words.shape[1]), words.dtype), words[:-1]], axis=0
+    )
     cf_list, cs_list, ok_list = [], [], []
     for p, (col, sh) in enumerate(BITS):
         bit = (words[:, col].astype(jnp.uint32) >> jnp.uint32(sh)) & jnp.uint32(1)
         fired = hit_ok & (bit == 1)
+        bit_prev = (words_prev[:, col].astype(jnp.uint32) >> jnp.uint32(sh)) & jnp.uint32(1)
+        dup = prev_same & (bit_prev == 1)
         for fld in P2F[p]:
             d = DEPTHS[fld]
             for b in range(B):
                 start = ends - (d + (b - E))
                 ok = fired & (start >= 0) & (start < limit)
+                if b > 0:
+                    ok = ok & ~dup
                 cf_list.append(jnp.where(ok, fld, -1))
                 cs_list.append(jnp.where(ok, start, 0))
                 ok_list.append(ok)
-    cf_all = jnp.concatenate(cf_list)
-    cs_all = jnp.concatenate(cs_list)
+    # (field, start) pairs interleaved so compaction needs ONE row gather
+    # (random reads are ~0.9 ms per gather op regardless of width).
+    cfs_all = jnp.stack(
+        [jnp.concatenate(cf_list), jnp.concatenate(cs_list)], axis=1
+    )                                              # [n_all, 2]
     ok_all = jnp.concatenate(ok_list)
     cand_count, cidx = compact_indices(ok_all, CAND)
     csafe = jnp.maximum(cidx, 0)
-    cand_field = jnp.where(cidx >= 0, cf_all[csafe], -1)
-    cand_start = jnp.where(cidx >= 0, cs_all[csafe], 0)
+    pair = cfs_all[csafe]                          # [CAND, 2]
+    cand_field = jnp.where(cidx >= 0, pair[:, 0], -1)
+    cand_start = jnp.where(cidx >= 0, pair[:, 1], 0)
 
     pen_flat, cnt_flat = _banded_dp(
         cand_field, cand_start,
@@ -499,8 +547,14 @@ def _dp_pipeline_jit(
         E, Lmax, C,
     )                                             # [B*NE, M] each
 
-    # Emission: channel-major (band, edit-count, output-pattern) x candidate
-    # — all [M] vectors, candidate axis last, so nothing is lane-padded.
+    # Emission: channel-major (band, output-pattern) x candidate — all [M]
+    # vectors, candidate axis last, so nothing is lane-padded. The NE
+    # edit-count channels of one (candidate, band) all map to the SAME
+    # (pattern, start, end) tuple, and the host keeps only the max
+    # similarity, so they are pre-minimized HERE (strict <, so the lowest
+    # edit count wins penalty ties — the former emission-order tie-break):
+    # halves the emission count and therefore the result-buffer bytes on a
+    # host link that sustains only ~64 MB/s.
     NE = E + 1
     alive = cand_field >= 0
     fsafe = jnp.maximum(cand_field, 0)
@@ -509,49 +563,67 @@ def _dp_pipeline_jit(
     pats = out_list[node]                         # [CAND, MO]
     slack = np.float32(1e-4) + np.float32(1e-4) * jnp.abs(thr)
     ok_rows = []
+    pen_best_rows, cnt_best_rows = [], []
     for b in range(B):
         ends_b = cand_start + d + (b - E)
         span_ok = alive & (ends_b <= limit) & (ends_b >= cand_start)
-        for e in range(NE):
-            pen_be = pen_flat[b * NE + e]
-            fin = jnp.isfinite(pen_be)
-            pen_s = jnp.where(fin, pen_be, 0.0)
-            for o in range(MO):
-                p_o = pats[:, o]
-                pl = pat_len[jnp.maximum(p_o, 0)]
-                sim = ((pl - pen_s) / pl) * pat_weight[jnp.maximum(p_o, 0)]
-                ok_rows.append(
-                    span_ok & fin & (p_o >= 0) & (sim >= thr - slack)
-                )
-    e_ok = jnp.stack(ok_rows, axis=0)             # [B*NE*MO, M]
+        pen_b = pen_flat[b * NE]
+        cnt_b = cnt_flat[b * NE]
+        for e in range(1, NE):
+            cand_p = pen_flat[b * NE + e]
+            take = cand_p < pen_b
+            pen_b = jnp.where(take, cand_p, pen_b)
+            cnt_b = jnp.where(take, cnt_flat[b * NE + e], cnt_b)
+        pen_best_rows.append(pen_b)
+        cnt_best_rows.append(cnt_b)
+        fin = jnp.isfinite(pen_b)
+        pen_s = jnp.where(fin, pen_b, 0.0)
+        for o in range(MO):
+            p_o = pats[:, o]
+            pl = pat_len[jnp.maximum(p_o, 0)]
+            sim = ((pl - pen_s) / pl) * pat_weight[jnp.maximum(p_o, 0)]
+            ok_rows.append(
+                span_ok & fin & (p_o >= 0) & (sim >= thr - slack)
+            )
+    e_ok = jnp.stack(ok_rows, axis=0)             # [B*MO, M]
+    pen_best = jnp.stack(pen_best_rows, axis=0)   # [B, M]
+    cnt_best = jnp.stack(cnt_best_rows, axis=0)
 
     total, gidx = compact_indices(e_ok.reshape(-1), KG)
     gsafe = jnp.maximum(gidx, 0)
     m = gsafe % CAND
     chan = gsafe // CAND
     o = chan % MO
-    be = chan // MO                               # = b * NE + e
-    b = be // NE
+    b = chan // MO
     ok = gidx >= 0
+    # Compact 4-column rows (buffer bytes = link time): [start, pen_bits,
+    # me << 24 | pattern, packed edit counts]. me = matched grapheme span
+    # <= 64 + E < 256; pattern ids on this path are bounded by the packed
+    # field budget (<= 512 fields x MO), far under 2^24. Per-emission
+    # lookups are batched into three row gathers: (start, depth) pairs,
+    # (pen, cnt) pairs, and the candidate's output-pattern row.
+    sd_tab = jnp.stack([cand_start, d], axis=1)                # [CAND, 2]
+    pc_tab = jnp.stack(
+        [jax.lax.bitcast_convert_type(pen_best, jnp.int32), cnt_best], axis=2
+    ).reshape(B * CAND, 2)                                      # [(b,m), 2]
+    sd = sd_tab[m]                                              # [KG, 2]
+    pc = pc_tab[b * CAND + m]                                   # [KG, 2]
+    pat_row = pats[m]                                           # [KG, MO]
+    pat_sel = pat_row[:, 0]
+    for oo in range(1, MO):
+        pat_sel = jnp.where(o == oo, pat_row[:, oo], pat_sel)
+    me = sd[:, 1] + (b - E)
     rows = jnp.stack(
         [
-            jnp.where(ok, cand_start[m], -1),
-            jnp.where(ok, d[m] + (b - E), 0),
-            jnp.where(ok, pats.reshape(-1)[m * MO + o], 0),
-            jnp.where(
-                ok,
-                jax.lax.bitcast_convert_type(
-                    pen_flat.reshape(-1)[be * CAND + m], jnp.int32
-                ),
-                0,
-            ),
-            jnp.where(ok, cnt_flat.reshape(-1)[be * CAND + m], 0),
-            jnp.zeros((KG,), jnp.int32),
+            jnp.where(ok, sd[:, 0], -1),
+            jnp.where(ok, pc[:, 0], 0),
+            jnp.where(ok, (me << 24) | pat_sel, 0),
+            jnp.where(ok, pc[:, 1], 0),
         ],
         axis=1,
     )
     header = (
-        jnp.zeros((1, 6), jnp.int32)
+        jnp.zeros((1, 4), jnp.int32)
         .at[0, 0].set(count_h)
         .at[0, 1].set(cand_count)
         .at[0, 2].set(total)
@@ -664,9 +736,9 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
     kh_key = ("dp-KH", nb)
     ca_key = ("dp-CAND", nb)
     kg_key = ("dp-KG", nb)
-    KH = caps.get(kh_key, max(1 << 13, nb >> 10))
-    CAND = caps.get(ca_key, 1 << 14)
-    KG = caps.get(kg_key, 1 << 15)
+    KH = caps.get(kh_key, _fine_cap(max(1 << 13, nb >> 10)))
+    CAND = caps.get(ca_key, _fine_cap(max(1 << 14, nb >> 9)))
+    KG = caps.get(kg_key, _fine_cap(max(1 << 15, nb >> 9)))
 
     while True:
         buf = jax.device_get(
@@ -688,13 +760,13 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
         count_h, cand_count, total = int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
         grew = False
         if count_h > KH:
-            KH = 1 << (count_h - 1).bit_length()
+            KH = _fine_cap(count_h)
             grew = True
         if cand_count > CAND:
-            CAND = 1 << (cand_count - 1).bit_length()
+            CAND = _fine_cap(cand_count)
             grew = True
         if total > KG:
-            KG = 1 << (total - 1).bit_length()
+            KG = _fine_cap(total)
             grew = True
         if not grew:
             break
@@ -707,8 +779,11 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
 
     results = decode_matches(
         engine, view, haystack, n,
-        rows[:, 0], rows[:, 1], rows[:, 2],
-        rows[:, 3].copy().view(np.float32), rows[:, 4],
+        rows[:, 0],
+        (rows[:, 2].astype(np.int64) >> 24).astype(np.int32),   # me
+        rows[:, 2] & 0xFFFFFF,                                   # pattern
+        rows[:, 1].copy().view(np.float32),                      # penalty
+        rows[:, 3],                                              # counts
         thr,
     )
     engine.last_stats = {
