@@ -61,9 +61,32 @@ class FuzzyMatches:
             self.non_overlapping_unique()
         return self
 
+    def _lexsort_columns(self, major_keys) -> bool:
+        """Vectorized sort for SoA-backed (unmaterialized) match lists:
+        ``major_keys(start, end, pat, sim, plen)`` returns the sort keys in
+        MAJOR-first order; applied via np.lexsort without constructing any
+        FuzzyMatch objects. Returns False when the inner list is a plain
+        (or already materialized) list and the caller must sort that."""
+        import numpy as np
+        from .structs import LazyMatchList
+
+        inner = self.inner
+        if not (isinstance(inner, LazyMatchList) and inner.unmaterialized):
+            return False
+        cols = inner.columns()
+        keys = major_keys(*cols)
+        inner.reorder(np.lexsort(tuple(reversed(keys))))
+        return True
+
     def default_sort(self) -> None:
         """Higher similarity, longer pattern, longer text, earlier span, with
         total-order tiebreakers (reference src/matches.rs:24-38)."""
+        if self._lexsort_columns(
+            lambda s, e, p, sim, pl: (
+                -sim.astype("float64"), -pl, -(e - s), s, e, p
+            )
+        ):
+            return
         self.inner.sort(
             key=lambda m: (
                 -float(m.similarity),
@@ -77,6 +100,10 @@ class FuzzyMatches:
 
     def greedy_sort(self) -> None:
         """Longer pattern first, then similarity (reference src/matches.rs:44-58)."""
+        if self._lexsort_columns(
+            lambda s, e, p, sim, pl: (-pl, -sim.astype("float64"), s, e, p)
+        ):
+            return
         self.inner.sort(
             key=lambda m: (
                 -len(m.pattern),
@@ -93,6 +120,17 @@ class FuzzyMatches:
         The score product is computed in f32 like the reference.
         """
         import numpy as np
+
+        if self._lexsort_columns(
+            lambda s, e, p, sim, pl: (
+                -np.float32(
+                    np.float32(sim * sim) * pl.astype(np.float32)
+                ).astype("float64"),
+                -sim.astype("float64"),
+                s, e, p,
+            )
+        ):
+            return
 
         def score(m: FuzzyMatch) -> float:
             return float(np.float32(np.float32(m.similarity * m.similarity) * np.float32(len(m.pattern))))

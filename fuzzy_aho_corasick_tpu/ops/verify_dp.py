@@ -56,7 +56,6 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-
 from .compact import compact_indices
 
 
@@ -426,6 +425,10 @@ def _banded_dp(
         # Unrolled: static row indexing, and XLA fuses across DP rows —
         # a lax.scan body dispatches its fused kernels once per row, and
         # per-dispatch overhead (not bandwidth) dominates at [M] sizes.
+        # (A single whole-loop Pallas kernel was tried and measured ~3x
+        # SLOWER than this form at every block width — ~70 live [MB]
+        # vectors spill, and Mosaic schedules the 2000-op body worse than
+        # XLA's multi-kernel fusion pipeline.)
         carry = init
         for i in range(1, Lmax + 1):
             winrow = [win_rows[i - 1 + t] for t in range(B + 1)]
@@ -736,9 +739,12 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
     kh_key = ("dp-KH", nb)
     ca_key = ("dp-CAND", nb)
     kg_key = ("dp-KG", nb)
+    # KG is shipped bytes (16 B/emission over a ~64 MB/s link) — start low
+    # and let the warm search's retry find the real level; KH/CAND only
+    # shape on-device work, so they start at corpus-scaled guesses.
     KH = caps.get(kh_key, _fine_cap(max(1 << 13, nb >> 10)))
     CAND = caps.get(ca_key, _fine_cap(max(1 << 14, nb >> 9)))
-    KG = caps.get(kg_key, _fine_cap(max(1 << 15, nb >> 9)))
+    KG = caps.get(kg_key, _fine_cap(max(1 << 15, nb >> 11)))
 
     while True:
         buf = jax.device_get(

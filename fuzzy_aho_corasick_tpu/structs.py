@@ -345,6 +345,36 @@ class LazyMatchList:
     def extend(self, xs):
         self._mat().extend(xs)
 
+    # --- vectorized helpers (used by FuzzyMatches.apply before
+    # materialization; no-ops once _mat() has run) ------------------------
+    @property
+    def unmaterialized(self) -> bool:
+        return self._list is None
+
+    def columns(self):
+        """(start, end, pattern_index, similarity f32, pattern grapheme
+        lens) as numpy arrays — for vectorized ranking."""
+        pat = np.asarray(self._pat, dtype=np.int64)
+        plens = np.asarray(
+            [len(p) for p in self._patterns], dtype=np.int64
+        )[pat]
+        return (
+            np.asarray(self._start, dtype=np.int64),
+            np.asarray(self._end, dtype=np.int64),
+            pat,
+            np.asarray(self._sim, dtype=np.float32),
+            plens,
+        )
+
+    def reorder(self, order) -> None:
+        """Permute the columns in place (pre-materialization sort)."""
+        assert self._list is None
+        self._start = np.asarray(self._start)[order]
+        self._end = np.asarray(self._end)[order]
+        self._pat = np.asarray(self._pat)[order]
+        self._sim = np.asarray(self._sim)[order]
+        self._cnts = np.asarray(self._cnts)[order]
+
 
 @dataclass
 class UnmatchedSegment:
