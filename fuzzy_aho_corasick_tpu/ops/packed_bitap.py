@@ -267,7 +267,9 @@ def _shl1(lo, hi):
     return lo << one, (hi << one) | jax.lax.shift_right_logical(lo, jnp.uint32(31))
 
 
-def _kernel_factory(k: int, W: int, NL: int, TB: int, emit_words: bool, A: int):
+def _kernel_factory(
+    k: int, W: int, NL: int, TB: int, emit_words: bool, A: int, reset_axis: int = 0
+):
     def kern(tbl_ref, starts_ref, match_ref, init_ref, lanes_ref, *rest):
         # rest = flag_ref, [2W words refs], r_ref, wsc_ref
         flag_ref = rest[0]
@@ -275,7 +277,7 @@ def _kernel_factory(k: int, W: int, NL: int, TB: int, emit_words: bool, A: int):
         r_ref = rest[-2]
         wsc_ref = rest[-1]
 
-        @pl.when(pl.program_id(0) == 0)
+        @pl.when(pl.program_id(reset_axis) == 0)
         def _():
             for d in range(k + 1):
                 for i in range(2 * W):
@@ -400,6 +402,107 @@ def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, em
     return outs[0], None
 
 
+#: Hits per replay chunk (lane width of the replay kernel).
+REPLAY_NL = 2048
+
+
+def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH):
+    """Per-hit match words by REPLAYING the shift-AND NFA over each hit's
+    trailing window, instead of writing full-corpus per-position words.
+
+    The NFA state at position p is a function of the last ``halo`` symbols
+    (the same fixpoint argument as the lane halos in :func:`_lanes_of`), so
+    replaying ``ids[p-halo+1 : p+1]`` from the fresh-start state reproduces
+    the match words exactly. The big scan then runs flag-only — at a 100 MB
+    corpus that skips ~2.5 GB of HBM word writes plus 2W per-hit gathers,
+    for one [KH, 2-row] aligned window fetch and a ~halo-step kernel over
+    [halo, KH] lanes (hits are ~10^-3 of positions).
+
+    ``pos`` are stream positions (-1 = dead slot; windows read as dead
+    symbols and produce zero match words). Returns [KH, 2W] u32.
+    """
+    npad = ids_pad.shape[0]
+    KHp = -(-KH // REPLAY_NL) * REPLAY_NL
+    # Window rows: win[r, h] = ids[pos[h] - halo + 1 + r]; out-of-range = 0
+    # (dead symbol — the fresh-start state's fixpoint). Aligned 32-byte row
+    # gathers + VPU selects, as in the DP window fetch.
+    base_abs = pos - (halo - 1)
+    rows = []
+    # 2 aligned rows cover byte offsets d0 + o <= 31 + halo - 1; need < 64.
+    if ids_pad.dtype == jnp.uint8 and npad % 32 == 0 and halo <= 32:
+        ids_w32 = jax.lax.bitcast_convert_type(
+            ids_pad.reshape(-1, 4), jnp.uint32
+        ).reshape(-1, 8)
+        nmat = ids_w32.shape[0]
+        rb = jnp.maximum(base_abs, 0) >> 5
+        fetch = jnp.concatenate(
+            [ids_w32[jnp.clip(rb + t, 0, nmat - 1)] for t in range(2)], axis=1
+        )                                          # [KH, 16]
+        fetT = jax.lax.optimization_barrier(fetch.T)
+        d0 = base_abs - (rb << 5)
+        for o in range(halo):
+            q = d0 + o
+            q_c = jnp.maximum(q, 0)
+            wi = q_c >> 2
+            sh = ((q_c & 3) * 8).astype(jnp.uint32)
+            lo_w = max(0, (o - halo) >> 2)
+            hi_w = min(15, (o + 31) >> 2)
+            word = fetT[max(lo_w, 0)]
+            for s in range(max(lo_w, 0) + 1, hi_w + 1):
+                word = jnp.where(wi == s, fetT[s], word)
+            sym = ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+            rows.append(jnp.where(q >= 0, sym, 0).astype(jnp.uint8))
+    else:
+        for o in range(halo):
+            idx = base_abs + o
+            sym = ids_pad[jnp.clip(idx, 0, npad - 1)]
+            rows.append(
+                jnp.where(idx >= 0, sym.astype(jnp.int32), 0).astype(jnp.uint8)
+            )
+    L2 = halo
+    TB2 = 8
+    L2p = -(-L2 // TB2) * TB2
+    # Front-pad with dead rows (zeros hold the fresh-start state) so the
+    # final real row lands on the last kernel row.
+    lanes = jnp.zeros((L2p, KHp), jnp.uint8)
+    lanes = lanes.at[L2p - L2 :, : pos.shape[0]].set(jnp.stack(rows, axis=0))
+
+    nchunks = KHp // REPLAY_NL
+    kern = _kernel_factory(k, W, REPLAY_NL, TB2, True, A, reset_axis=1)
+    bcast = lambda a: jnp.broadcast_to(a[..., None], a.shape + (REPLAY_NL,))
+    out_shape = [jax.ShapeDtypeStruct((L2p, KHp), jnp.int32)] + [
+        jax.ShapeDtypeStruct((L2p, KHp), jnp.uint32) for _ in range(2 * W)
+    ]
+    io_spec = pl.BlockSpec((TB2, REPLAY_NL), lambda c, r: (r, c), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=out_shape,
+        grid=(nchunks, L2p // TB2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2 * W, REPLAY_NL), lambda c, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 2 * W, REPLAY_NL), lambda c, r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 2 * W, REPLAY_NL), lambda c, r: (0, 0, 0), memory_space=pltpu.VMEM),
+            io_spec,
+        ],
+        out_specs=[io_spec] * (1 + 2 * W),
+        scratch_shapes=[
+            pltpu.VMEM((k + 1, 2 * W, REPLAY_NL), jnp.uint32),
+            pltpu.VMEM((2 * W, TB2, REPLAY_NL), jnp.uint32),
+        ],
+        interpret=_interpret(),
+    )(
+        word_tbl,
+        bcast(starts[..., 0] if starts.ndim == 2 else starts),
+        bcast(match[..., 0] if match.ndim == 3 else match),
+        bcast(init[..., 0] if init.ndim == 3 else init),
+        lanes,
+    )
+    words = outs[1:]
+    w = jnp.stack([wi[L2p - 1, :KH] for wi in words], axis=1)  # [KH, 2W]
+    return jnp.where(pos[:, None] >= 0, w, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K"),
@@ -411,24 +514,12 @@ def _packed_exact_jit(ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid
     Positions index the hit's *last* symbol. Everything is packed into a
     single buffer because the host link on tunneled rigs charges a ~30 ms
     round trip per transfer — one ``device_get`` per search, not one per
-    field (and never a scalar sync)."""
-    rows = grid * TB
-    lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
-    flag, words = _pallas_scan(
-        lanes, word_tbl, starts, match, init, 0, W, A, NL, TB, grid, True, rows
+    field (and never a scalar sync). The scan runs flag-only and per-hit
+    words come from the replay kernel (see :func:`packed_hits`)."""
+    count, pos, w = packed_hits(
+        ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk,
+        halo, 0, K,
     )
-
-    # Compact in lane layout (no transpose): flat index f = r2 * NL + l for
-    # row halo + r2, lane l; stream position = l * chunk + r2.
-    flag2 = flag[halo : halo + chunk].reshape(-1)
-    count, idx = compact_indices(flag2, K)
-    safe = jnp.maximum(idx, 0)
-    r2 = safe // NL
-    lane = safe % NL
-    pos = jnp.where(idx >= 0, lane * chunk + r2, -1)
-    widx = (halo + r2) * NL + lane
-    w = jnp.stack([wi.reshape(-1)[widx] for wi in words], axis=1)
-    w = jnp.where(idx[:, None] >= 0, w, 0)
     header = jnp.zeros((1, 1 + 2 * W), jnp.int32).at[0, 0].set(count)
     body = jnp.concatenate([pos[:, None], w.astype(jnp.int32)], axis=1)
     return jnp.concatenate([header, body], axis=0)
@@ -446,18 +537,18 @@ def packed_hits(
     field fired where, instead of a dilated any-flag."""
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
-    flag, words = _pallas_scan(
-        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, True, rows
+    flag, _ = _pallas_scan(
+        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, False, rows
     )
-    flag2 = flag[halo : halo + chunk].reshape(-1)
+    # Transpose to STREAM order before compaction: hit positions come out
+    # ascending, which the DP pipeline's run-dedup depends on (consecutive
+    # ends of one pattern must be adjacent compacted slots).
+    flag2 = flag[halo : halo + chunk].T.reshape(-1)
     count, idx = compact_indices(flag2, KH)
-    safe = jnp.maximum(idx, 0)
-    r2 = safe // NL
-    lane = safe % NL
-    pos = jnp.where(idx >= 0, lane * chunk + r2, -1)
-    widx = (halo + r2) * NL + lane
-    w = jnp.stack([wi.reshape(-1)[widx] for wi in words], axis=1)
-    w = jnp.where(idx[:, None] >= 0, w, 0)
+    pos = idx  # flat index IS the stream position in lane-major order
+    w = _replay_words(
+        ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
+    )
     return count, pos, w
 
 
