@@ -13,7 +13,7 @@ Three implementations, fastest applicable wins:
 * :func:`bitap_windows` — scalar host loop, bit-exact port of the recurrence
   (used for tiny inputs and as the differential oracle).
 * :func:`bitap_windows_chunked` — NumPy-vectorized chunked form (host).
-* the Pallas TPU kernel in :mod:`fuzzy_aho_corasick_tpu.ops.bitap_tpu`
+* the packed Pallas TPU kernel in :mod:`fuzzy_aho_corasick_tpu.ops.packed_bitap`
   (device; same chunked scheme over VPU lanes).
 """
 

@@ -4,10 +4,17 @@ The reference's pointer-rich ``Node`` graph (src/structs.rs:249-281) becomes
 flat arrays the TPU kernels gather from (SURVEY §7 "architectural
 translation"):
 
-* a **char-class** alphabet: folded first-chars of pattern graphemes plus
-  every char with a similarity entry; class 0 = "other" (no transitions,
-  similarity 0 against everything — the same conservative bucket as the
-  prefilter's symbol id 0, reference src/prefilter.rs:70-76);
+* a **char-class** alphabet: every edge first-char gets its own class
+  (transition identity), and every other representable char (ASCII bytes +
+  similarity-map chars) is grouped by its *similarity column* against the
+  edge chars — two hay chars that no transition distinguishes and whose
+  substitution costs agree everywhere share one class. Class 0 = "other"
+  (no transitions, similarity 0 against everything — the same conservative
+  bucket as the prefilter's symbol id 0, reference src/prefilter.rs:70-76).
+  Compression keeps the alphabet ~20-40 for typical dictionaries (vs 129+
+  when every ASCII byte had its own class), which keeps the DP verify
+  kernel's similarity band on its cheap select-chain path — gathers from
+  small tables run at only ~10^8 indices/s on this target;
 * ``goto[num_nodes, num_classes]`` int32 (-1 = no edge) reproducing the
   no-mappings first-char transition scan (reference src/structs.rs:511-519,
   first matching edge in edge order wins);
@@ -53,6 +60,8 @@ class DenseAutomaton:
         "max_pattern_len",
         "case_insensitive",
         "ascii_class_u8",
+        "sb_edge",
+        "has_multibyte_edges",
     )
 
     @classmethod
@@ -64,25 +73,47 @@ class DenseAutomaton:
         self.num_nodes = n
         self.case_insensitive = engine.case_insensitive
 
-        # --- char classes: 1..128 = ASCII bytes (folded at transcode time),
-        # higher = non-ASCII chars seen in patterns or the similarity map.
-        char_class: dict[str, int] = {chr(b): b + 1 for b in range(128)}
-
-        def class_of(ch: str) -> int:
-            cid = char_class.get(ch)
-            if cid is None:
-                cid = len(char_class) + 1
-                char_class[ch] = cid
-            return cid
-
+        # --- char classes. Edge first-chars each get their own class (they
+        # are the only chars the kernels ever use as a *pattern-side* symbol:
+        # transitions and substitution rows index by them). Every other
+        # representable hay char — ASCII bytes plus both sides of the
+        # similarity map — is grouped by its similarity COLUMN against the
+        # edge chars: chars with equal columns are indistinguishable to every
+        # kernel (no transition matches them, substitution costs agree), so
+        # they share a class. All-zero columns collapse into class 0.
+        char_class: dict[str, int] = {}
+        class_repr: list[str] = [""]  # class id -> representative char
+        edge_char_list: list[str] = []  # the true pattern-side symbols
         for node in nodes:
             for first_char, _t, _s in node.edges:
-                class_of(first_char)
+                if first_char not in char_class:
+                    char_class[first_char] = len(class_repr)
+                    class_repr.append(first_char)
+                    edge_char_list.append(first_char)
+
+        sim_get = engine.similarity.get
+        universe: list[str] = [chr(b) for b in range(128)]
+        seen_u = set(universe)
         for (a, b) in engine.similarity.map.keys():
-            class_of(a)
-            class_of(b)
+            for ch in (a, b):
+                if ch not in seen_u:
+                    universe.append(ch)
+                    seen_u.add(ch)
+        col_groups: dict[tuple, int] = {}
+        for ch in universe:
+            if ch in char_class:
+                continue
+            col = tuple(np.float32(sim_get(p, ch)) for p in edge_char_list)
+            if not any(col):
+                continue  # class 0
+            cid = col_groups.get(col)
+            if cid is None:
+                cid = len(class_repr)
+                col_groups[col] = cid
+                class_repr.append(ch)
+            char_class[ch] = cid
         self.char_class = char_class
-        C = len(char_class) + 1
+        C = len(class_repr)
         self.num_classes = C
 
         # ASCII transcode table: byte -> class, with case folding baked in.
@@ -90,22 +121,21 @@ class DenseAutomaton:
         for byte in range(128):
             ch = chr(byte)
             folded = ch.lower() if engine.case_insensitive else ch
-            ascii_class[byte] = char_class[folded]
+            ascii_class[byte] = char_class.get(folded, 0)
         self.ascii_class = ascii_class
         self.ascii_class_u8 = ascii_class.astype(np.uint8) if C <= 256 else None
 
         # --- similarity matrix over classes (diagonal 1.0, reference
-        # src/structs.rs:82-92 via src/search.rs:76-82).
-        inv = [""] * C
-        for ch, cid in char_class.items():
-            inv[cid] = ch
+        # src/structs.rs:82-92 via src/search.rs:76-82). Rows are only ever
+        # indexed by edge-char classes (the pattern side); group-class rows
+        # use the representative (harmless, never read).
         sim = np.zeros((C, C), dtype=np.float32)
         for i in range(1, C):
             for j in range(1, C):
                 if i == j:
                     sim[i, j] = 1.0
                 else:
-                    sim[i, j] = engine.similarity.get(inv[i], inv[j])
+                    sim[i, j] = engine.similarity.get(class_repr[i], class_repr[j])
         sim[0, 0] = 1.0
         self.sim = sim
 
@@ -125,6 +155,25 @@ class DenseAutomaton:
         self.goto = goto
         self.edge_target = edge_target
         self.edge_class = edge_class
+
+        # --- single-byte-edge table for the last-edit dead-end filters.
+        # The reference's ``has_matching_edge_char`` (src/structs.rs:471-476)
+        # credits ONLY single-ASCII-byte edges — a multi-byte edge that WOULD
+        # advance does not rescue the state, which changes results for
+        # Unicode patterns (e.g. one-edit 'éllo' never matches 'héllo' in
+        # the reference). Bug-for-bug parity requires the kernels to filter
+        # with this table, not ``goto`` (src/search.rs:839-847, 1005-1007,
+        # 1050-1063).
+        sb_edge = np.zeros((n, C), dtype=np.int8)
+        has_mb = False
+        for i, node in enumerate(nodes):
+            for first_char, _t, single in node.edges:
+                if single:
+                    sb_edge[i, char_class[first_char]] = 1
+                else:
+                    has_mb = True
+        self.sb_edge = sb_edge
+        self.has_multibyte_edges = has_mb
 
         # --- outputs (CSR + fixed-width padded list).
         out_start = np.zeros(n + 1, dtype=np.int32)

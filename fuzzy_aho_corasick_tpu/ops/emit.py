@@ -61,7 +61,7 @@ def decode_matches(
     first[1:] = (p_o[1:] != p_o[:-1]) | (s_o[1:] != s_o[:-1]) | (e_o[1:] != e_o[:-1])
     win = order[first]
 
-    hay_bytes = haystack.encode("utf-8")
+    hay_bytes = view.hay_bytes()
     sg = start_g[win]
     eg = end_g[win]
     offs = view.offsets_array(len(hay_bytes))

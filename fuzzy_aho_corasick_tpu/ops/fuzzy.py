@@ -23,8 +23,10 @@ edit budget 1..=6, no per-pattern limits, no mappings, no explicit beams):
 * per-node prune ceilings and the global remaining-budget guards
   (src/search.rs:637-648);
 * last-edit dead-end filters (src/search.rs:839-847, 1005-1007, 1050-1063) —
-  on the device these use the class-``goto`` table, which drops a subset of
-  the states the reference drops (never more), so results are unchanged.
+  on the device these use the ``sb_edge`` single-byte-edge table, which
+  replicates the reference's ``has_matching_edge_char`` exactly: a
+  multi-byte edge that WOULD advance deliberately does not rescue the state
+  (results-relevant for Unicode patterns; see ops/dense.py sb_edge).
 
 Exactness under the fixed beam: if a round's deduped frontier exceeds BEAM
 slots, the start position is flagged and re-searched by the host oracle
@@ -54,7 +56,7 @@ INT32_MAX = np.int32(2**31 - 1)
 
 def _expand(
     node, j, me, counts, pen,
-    edge_target, edge_class, goto_flat, C, sim_flat,
+    edge_target, edge_class, goto_flat, sb_flat, C, sim_flat,
     out_count, node_ceil,
     ids_pad, limit, iota_i,
     max_pen, p_sub, p_ins, p_del, p_swap, floor, E,
@@ -95,11 +97,19 @@ def _expand(
     exact_next = goto_flat[safe_node * C + sym_j]
     exact_next = jnp.where(in_text, exact_next, -1)
 
-    # goto from a candidate target on the *next* symbol — shared by the
-    # dead-end filters.
+    # goto from a candidate target on the *next* symbol (real transitions:
+    # the swap branch).
     def goto_of(nodes, syms, mask):
         g = goto_flat[jnp.maximum(nodes, 0) * C + syms]
         return jnp.where(mask & (nodes >= 0), g, -1)
+
+    # Last-edit dead-end predicate: node has a SINGLE-byte edge matching the
+    # symbol (reference has_matching_edge_char, src/structs.rs:471-476 —
+    # multi-byte edges deliberately don't rescue the state; see
+    # ops/dense.py sb_edge).
+    def sb_of(nodes, syms, mask):
+        v = sb_flat[jnp.maximum(nodes, 0) * C + syms]
+        return mask & (nodes >= 0) & (v > 0)
 
     out0_self = out_count[safe_node] == 0
 
@@ -132,8 +142,8 @@ def _expand(
         & ~(pnl > remaining[..., None])
     )
     # Last-edit dead-end filter (src/search.rs:839-847): child must emit or
-    # advance on text[j+1].
-    child_has_next = goto_of(et, sym_j1[..., None], in_text2[..., None]) >= 0
+    # have a single-byte edge matching text[j+1].
+    child_has_next = sb_of(et, sym_j1[..., None], in_text2[..., None])
     child_out = out_count[jnp.maximum(et, 0)] > 0
     sub_valid &= ~(is_last[..., None] & ~child_out & ~child_has_next)
     for d in range(D):
@@ -153,7 +163,7 @@ def _expand(
     push(swap_valid, node2, j + 2, j + 2, counts + 0x100_0000, pen + p_swap)
 
     # 4) insertion (src/search.rs:994-1029)
-    self_has_next = goto_of(safe_node, sym_j1, in_text2 & alive) >= 0
+    self_has_next = sb_of(safe_node, sym_j1, in_text2 & alive)
     ins_valid = (
         in_text
         & ((me != 0) | (j != 0))
@@ -164,7 +174,7 @@ def _expand(
     push(ins_valid, node, j + 1, me, counts + 1, pen + p_ins)
 
     # 5) deletions over all edges (src/search.rs:1035-1089)
-    del_child_next = goto_of(et, sym_j[..., None], in_text[..., None]) >= 0
+    del_child_next = sb_of(et, sym_j[..., None], in_text[..., None])
     del_valid = (
         alive[..., None]
         & can_edit[..., None]
@@ -230,6 +240,7 @@ def _dedup_compact(c_node, c_j, c_me, c_counts, c_pen, B):
 )
 def _fuzzy_scan_kernel(
     goto_flat,
+    sb_flat,
     edge_target_full,
     edge_class_full,
     edge_target_deep,
@@ -270,7 +281,7 @@ def _fuzzy_scan_kernel(
     root_beam = (z, z, z, z, jnp.zeros((N, 1), dtype=jnp.float32))
     cands = _expand(
         *root_beam,
-        edge_target_full, edge_class_full, goto_flat, C, sim_flat,
+        edge_target_full, edge_class_full, goto_flat, sb_flat, C, sim_flat,
         out_count, node_ceil, ids_pad, limit, iota_i,
         max_pen, p_sub, p_ins, p_del, p_swap, floor, E,
     )
@@ -282,7 +293,7 @@ def _fuzzy_scan_kernel(
         b_node, b_j, b_me, b_counts, b_pen = carry
         cands = _expand(
             b_node, b_j, b_me, b_counts, b_pen,
-            edge_target_deep, edge_class_deep, goto_flat, C, sim_flat,
+            edge_target_deep, edge_class_deep, goto_flat, sb_flat, C, sim_flat,
             out_count, node_ceil, ids_pad, limit, iota_i,
             max_pen, p_sub, p_ins, p_del, p_swap, floor, E,
         )
@@ -330,6 +341,7 @@ def _fuzzy_scan_kernel(
 
 def _fuzzy1_core(
     goto_flat,
+    sb_flat,
     edge_target_full,
     edge_class_full,
     edge_target_deep,
@@ -387,7 +399,7 @@ def _fuzzy1_core(
 
     def expand(nodes, j, me, counts, pen, et, ec):
         return _expand(
-            nodes, j, me, counts, pen, et, ec, goto_flat, C, sim_flat,
+            nodes, j, me, counts, pen, et, ec, goto_flat, sb_flat, C, sim_flat,
             out_count, node_ceil, ids_pad, limit, starts,
             max_pen, p_sub, p_ins, p_del, p_swap, floor, 1,
         )
@@ -519,7 +531,7 @@ def _fuzzy1_scan_kernel(*args, C, T, K):
 )
 def _fuzzy1_pipeline_jit(
     ids_pf, word_tbl, pf_starts, pf_match, pf_init,
-    goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+    goto_flat, sb_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
     out_count, out_list, pat_len, pat_weight, node_ceil,
     ids_dense, limit,
     max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
@@ -568,7 +580,7 @@ def _fuzzy1_pipeline_jit(
         ci, bufs, mx = state
         starts_c = jax.lax.dynamic_slice(anchors, (ci * NCH,), (NCH,))
         cnt, em_i, em_me, em_pat, em_pen, em_counts = _fuzzy1_core(
-            goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+            goto_flat, sb_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
             out_count, out_list, pat_len, pat_weight, node_ceil,
             ids_dense, starts_c, limit, max_pen,
             p_sub, p_ins, p_del, p_swap, floor, thr,
@@ -681,6 +693,7 @@ def _fuzzy1_fused(engine, haystack: str, thr, view, n: int, T: int, max_pen, cei
         tabs = (
             d_deep,
             jax.device_put(dense.goto.reshape(-1)),
+            jax.device_put(dense.sb_edge.reshape(-1)),
             jax.device_put(dense.edge_target),
             jax.device_put(dense.edge_class),
             jax.device_put(np.ascontiguousarray(dense.edge_target[:, :d_deep])),
@@ -692,7 +705,7 @@ def _fuzzy1_fused(engine, haystack: str, thr, view, n: int, T: int, max_pen, cei
             jax.device_put(dense.pat_weight),
         )
         engine._fuzzy_dev_tables = tabs
-    (_, goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+    (_, goto_flat, sb_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
      out_count, out_list, pat_len, pat_weight) = tabs
     node_ceil = jax.device_put(ceil)
 
@@ -714,7 +727,7 @@ def _fuzzy1_fused(engine, haystack: str, thr, view, n: int, T: int, max_pen, cei
         buf = jax.device_get(
             _fuzzy1_pipeline_jit(
                 ids_pf, tbl, sb, mb, ib,
-                goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+                goto_flat, sb_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
                 out_count, out_list, pat_len, pat_weight, node_ceil,
                 ids_dense, np.int32(n),
                 max_pen, pens.substitution, pens.insertion, pens.deletion,
@@ -905,6 +918,7 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
         tabs = (
             d_deep,
             jax.device_put(dense.goto.reshape(-1)),
+            jax.device_put(dense.sb_edge.reshape(-1)),
             jax.device_put(dense.edge_target),
             jax.device_put(dense.edge_class),
             jax.device_put(np.ascontiguousarray(dense.edge_target[:, :d_deep])),
@@ -916,7 +930,7 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
             jax.device_put(dense.pat_weight),
         )
         engine._fuzzy_dev_tables = tabs
-    (_, goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+    (_, goto_flat, sb_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
      out_count, out_list, pat_len, pat_weight) = tabs
     node_ceil = jax.device_put(ceil)
     pens = engine.penalties
@@ -961,7 +975,7 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
         while True:
             if E == 1:
                 out = _fuzzy1_scan_kernel(
-                    goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+                    goto_flat, sb_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
                     out_count, out_list, pat_len, pat_weight, node_ceil,
                     ids_dev, starts_dev, limit, max_pen,
                     pens.substitution, pens.insertion, pens.deletion, pens.swap,
@@ -970,7 +984,7 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
                 )
             else:
                 out = _fuzzy_scan_kernel(
-                    goto_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
+                    goto_flat, sb_flat, et_full, ec_full, et_deep, ec_deep, sim_flat,
                     out_count, out_list, pat_len, pat_weight, node_ceil,
                     ids_dev, starts_dev, limit, max_pen,
                     pens.substitution, pens.insertion, pens.deletion, pens.swap,

@@ -4,9 +4,8 @@ One device pass scans the whole corpus against the *entire* dictionary:
 bit-vector fields (reference src/prefilter.rs:186-236) are packed into a
 shared set of u64 limbs (a field never straddles a u64), and the Wu-Manber
 ``k+1``-row recurrence (reference src/prefilter.rs:410-435) runs over all
-limbs at once, chunk-per-lane (the same halo decomposition as
-:mod:`fuzzy_aho_corasick_tpu.ops.bitap_tpu`, whose single-pattern kernel this
-supersedes on the hot paths).
+limbs at once, chunk-per-lane (each lane scans an independent corpus chunk,
+warmed up through a left halo so the NFA state at the chunk start is exact).
 
 Packing soundness: a left shift leaks each field's last bit into the next
 field's bit 0 — but every row's recurrence ORs the start mask (bit 0 of every
@@ -406,7 +405,8 @@ def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, em
 REPLAY_NL = 2048
 
 
-def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH):
+def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH,
+                  ids_w32=None):
     """Per-hit match words by REPLAYING the shift-AND NFA over each hit's
     trailing window, instead of writing full-corpus per-position words.
 
@@ -430,9 +430,15 @@ def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
     rows = []
     # 2 aligned rows cover byte offsets d0 + o <= 31 + halo - 1; need < 64.
     if ids_pad.dtype == jnp.uint8 and npad % 32 == 0 and halo <= 32:
-        ids_w32 = jax.lax.bitcast_convert_type(
-            ids_pad.reshape(-1, 4), jnp.uint32
-        ).reshape(-1, 8)
+        if ids_w32 is None or ids_w32.shape[0] == 0:
+            # Fallback pack — callers pass the resident pre-packed view (an
+            # in-graph bitcast costs ~45 ms per 100 MB; see
+            # utils/device_corpus.resident_words). A size-0 sentinel stands
+            # for None through jit boundaries (shapes are static at trace
+            # time).
+            ids_w32 = jax.lax.bitcast_convert_type(
+                ids_pad.reshape(-1, 4), jnp.uint32
+            ).reshape(-1, 8)
         nmat = ids_w32.shape[0]
         rb = jnp.maximum(base_abs, 0) >> 5
         fetch = jnp.concatenate(
@@ -507,7 +513,7 @@ def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
     jax.jit,
     static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K"),
 )
-def _packed_exact_jit(ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K):
+def _packed_exact_jit(ids_pad, ids_w32, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K):
     """ids [NL*chunk] u8 -> one int32 buffer [1 + K, 1 + 2W]: row 0 col 0 is
     the hit count, row 1+j is (stream position, match words) for hit j.
 
@@ -518,7 +524,7 @@ def _packed_exact_jit(ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid
     words come from the replay kernel (see :func:`packed_hits`)."""
     count, pos, w = packed_hits(
         ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk,
-        halo, 0, K,
+        halo, 0, K, ids_w32=ids_w32,
     )
     header = jnp.zeros((1, 1 + 2 * W), jnp.int32).at[0, 0].set(count)
     body = jnp.concatenate([pos[:, None], w.astype(jnp.int32)], axis=1)
@@ -526,7 +532,8 @@ def _packed_exact_jit(ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid
 
 
 def packed_hits(
-    ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, k, KH
+    ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, k, KH,
+    ids_w32=None,
 ):
     """Traceable shift-AND pass emitting per-hit (end positions, match words).
 
@@ -547,7 +554,8 @@ def packed_hits(
     count, idx = compact_indices(flag2, KH)
     pos = idx  # flat index IS the stream position in lane-major order
     w = _replay_words(
-        ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
+        ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH,
+        ids_w32=ids_w32,
     )
     return count, pos, w
 
@@ -684,7 +692,7 @@ def _decode_fields(pk, pos: np.ndarray, w: np.ndarray, base: int):
     return np.concatenate(ends_all), np.concatenate(fields_all)
 
 
-def _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo):
+def _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo, ids_w32=None):
     """Capacity-retry loop around one _packed_exact_jit dispatch."""
     caps = _cap_cache(engine)
     tbl, sb, mb, ib = _dev_consts(
@@ -697,12 +705,14 @@ def _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo):
             jax.device_put(np.zeros((1, 2 * pk.W, NL), np.uint32)),
         ),
     )
+    if ids_w32 is None:
+        ids_w32 = jnp.zeros((0, 8), jnp.uint32)  # sentinel: in-graph pack
     key = ("exact", NL, TB, grid, chunk)
     K = caps.get(key, 1 << 14)
     while True:
         buf = jax.device_get(
             _packed_exact_jit(
-                ids_dev, tbl, sb, mb, ib, pk.A, pk.W, NL, TB, grid, chunk, halo, K
+                ids_dev, ids_w32, tbl, sb, mb, ib, pk.A, pk.W, NL, TB, grid, chunk, halo, K
             )
         )
         cnt = int(buf[0, 0])
@@ -733,7 +743,7 @@ def exact_hits_packed(engine, haystack: str, view):
     if n_graphemes <= RESIDENT_MAX:
         # Resident path: the transcoded corpus lives in HBM across searches;
         # a repeated search ships nothing but the compacted hits back.
-        ids_dev, n = device_corpus.resident(
+        ids_dev, ids_w32, n = device_corpus.resident_words(
             haystack,
             ("pk-exact", _space_token(engine)),
             lambda h: np.ascontiguousarray(
@@ -741,7 +751,9 @@ def exact_hits_packed(engine, haystack: str, view):
             ),
         )
         NL, TB, chunk, grid = _derive_layout_resident(ids_dev.size, halo, pk.W)
-        pos, w = _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo)
+        pos, w = _run_exact_kernel(
+            engine, pk, ids_dev, NL, TB, chunk, grid, halo, ids_w32=ids_w32
+        )
         keep = pos < n
         return _decode_fields(pk, pos[keep], w[keep], 0)
 

@@ -159,8 +159,26 @@ def _banded_dp(
     ids_pad, limit, sim_flat, node_ceil,
     max_pen, p_sub, p_ins, p_del, p_swap, floor,
     E, Lmax, C,
+    ids_w32=None,
+    lo=None,
+    deadend=False,
+    sb_edge_flat=None,
+    out_count_arr=None,
 ):
     """Banded Damerau DP over candidates.
+
+    ``lo`` (traced scalar, default 0) marks haystack positions below it as
+    out-of-text — the sharded path uses it so a shard's left-halo region
+    reads as before-stream-start on shard 0.
+
+    ``deadend`` (static) enables the reference's last-edit dead-end filter
+    (src/search.rs:839-847, 994-1007, 1050-1063): an edit move that spends
+    the final budget unit is dropped unless the resulting node has output or
+    a SINGLE-byte edge matching the next text char (``sb_edge_flat``,
+    ``out_count_arr``; see ops/dense.py sb_edge). For single-byte-only tries
+    the filter provably never changes results (a filtered state cannot
+    advance at all), so callers gate it on ``dense.has_multibyte_edges`` and
+    ASCII dictionaries pay nothing.
 
     cand_field/cand_start: [M] (field index, anchor start; field -1 = dead
     slot). Returns (emit_pen [M, B, E+1], emit_cnt [M, B, E+1]) — the
@@ -198,7 +216,10 @@ def _banded_dp(
 
     f = jnp.maximum(cand_field, 0)
     alive_c = cand_field >= 0
-    WLEN = Lmax + 2 * E + 1
+    # The dead-end filter reads one text char past the band's last column.
+    WLEN = Lmax + 2 * E + 1 + (1 if deadend else 0)
+    if lo is None:
+        lo = jnp.int32(0)
 
     # --- one-time pre-gather (per candidate) -----------------------------
     # Random reads cost ~0.9 ms per gather OP on this target (latency-bound,
@@ -210,12 +231,20 @@ def _banded_dp(
     # re-running the per-candidate gather once per consuming op (measured
     # ~0.2 ms x 700+ consumers = the whole kernel's former runtime).
     path_cls2d = path_cls_flat.reshape(F, Lmax)
-    ceil_tab = node_ceil[path_node_flat.reshape(F, Lmax)]     # [F, Lmax]
-    # depth rides as an extra column of the class-path row gather.
+    path_node2d = path_node_flat.reshape(F, Lmax)
+    ceil_tab = node_ceil[path_node2d]                         # [F, Lmax]
+    # depth rides as an extra column of the class-path row gather; per-row
+    # output flags ride with the ceiling gather when the dead-end filter is
+    # on (both are per-(field, row) scalars).
     pc_d = jnp.concatenate([path_cls2d, depth_arr[:, None]], axis=1)
-    pcd_T, ceil_T = jax.lax.optimization_barrier(
-        (pc_d[f].T, ceil_tab[f].T)                # [Lmax+1, M], [Lmax, M]
+    if deadend:
+        out_tab = (out_count_arr[path_node2d] > 0).astype(jnp.float32)
+        ceil_tab = jnp.concatenate([ceil_tab, out_tab], axis=1)
+    pcd_T, ceil_o_T = jax.lax.optimization_barrier(
+        (pc_d[f].T, ceil_tab[f].T)                # [Lmax+1, M], [Lmax(+Lmax), M]
     )
+    ceil_T = ceil_o_T[:Lmax]
+    out_T = (ceil_o_T[Lmax:] > 0.5) if deadend else None      # [Lmax, M]
     pcls_T = pcd_T[:Lmax]
     dpth = jnp.where(alive_c, pcd_T[Lmax], 0)
 
@@ -229,9 +258,14 @@ def _banded_dp(
     base_abs = cand_start - (E + 1)               # >= -(E+1)
     win_rows = []
     if ids_pad.dtype == jnp.uint8 and npad % 32 == 0 and WLEN <= 60:
-        ids_w32 = jax.lax.bitcast_convert_type(
-            ids_pad.reshape(-1, 4), jnp.uint32
-        ).reshape(-1, 8)                           # [npad/32, 8]
+        if ids_w32 is None or ids_w32.shape[0] == 0:
+            # Fallback pack (callers pass the resident pre-packed view — an
+            # in-graph bitcast costs ~45 ms per 100 MB, see
+            # utils/device_corpus.resident_words; a size-0 sentinel stands
+            # for None through jit boundaries).
+            ids_w32 = jax.lax.bitcast_convert_type(
+                ids_pad.reshape(-1, 4), jnp.uint32
+            ).reshape(-1, 8)                       # [npad/32, 8]
         nrows_mat = ids_w32.shape[0]
         rb = jnp.maximum(base_abs, 0) >> 5
         fetch = jnp.concatenate(
@@ -256,14 +290,14 @@ def _banded_dp(
             sym = ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
             abs_i = base_abs + o
             win_rows.append(
-                jnp.where((abs_i >= 0) & (abs_i < limit), sym, -1)
+                jnp.where((abs_i >= lo) & (abs_i >= 0) & (abs_i < limit), sym, -1)
             )
     else:
         for o in range(WLEN):
             idx = base_abs + o
             sym = ids_pad[jnp.clip(idx, 0, npad - 1)].astype(jnp.int32)
             win_rows.append(
-                jnp.where((idx >= 0) & (idx < limit), sym, -1)
+                jnp.where((idx >= lo) & (idx >= 0) & (idx < limit), sym, -1)
             )
         win_rows = list(jax.lax.optimization_barrier(tuple(win_rows)))
 
@@ -284,6 +318,11 @@ def _banded_dp(
                     acc = jnp.where(hc == c, spg_T[l * C + c], acc)
                 sb_rows.append(acc)
     else:
+        # Fallback for huge alphabets (> 64 classes after the dense-table
+        # column compression — rare). Gathers from small tables run at only
+        # ~10^8 indices/s on this target whether batched or not, so this
+        # branch is the slow lane; the compressed class space keeps normal
+        # engines on the select-chain branch above.
         pcg = path_cls2d[f]                                    # [M, Lmax]
         sb_rows = []
         for l in range(Lmax):
@@ -292,6 +331,34 @@ def _banded_dp(
                 hc = win_rows[l + 1 + b]
                 key = pc_l * C + jnp.maximum(hc, 0)
                 sb_rows.append(sim_flat[key])
+
+    # Dead-end band: okd[l, b] = node at row l+1 has output OR a single-byte
+    # edge matching text[j] (win index l + b + 2) — the rescue predicate for
+    # edit moves into the last edit level. Out-of-text chars read as -1 ->
+    # class 0 -> no single-byte edge, reproducing the reference's
+    # ``next_ch_opt is None`` output-only case.
+    okd_rows = None
+    if deadend:
+        sb2d = sb_edge_flat.reshape(-1, C)
+        okd_rows = []
+        if C <= 64:
+            sbp_tab = sb2d[path_node2d].reshape(F, Lmax * C)
+            sbg_T = jax.lax.optimization_barrier(sbp_tab[f].T)  # [Lmax*C, M]
+            for l in range(Lmax):
+                for b in range(B):
+                    hc = win_rows[l + b + 2]
+                    acc = jnp.zeros((M,), jnp.bool_)
+                    for c in range(C):
+                        acc = jnp.where(hc == c, sbg_T[l * C + c] > 0, acc)
+                    okd_rows.append(out_T[l] | acc)
+        else:
+            png = path_node2d[f]                               # [M, Lmax]
+            for l in range(Lmax):
+                pn_l = png[:, l]
+                for b in range(B):
+                    hc = win_rows[l + b + 2]
+                    key = pn_l * C + jnp.maximum(hc, 0)
+                    okd_rows.append(out_T[l] | (sb_edge_flat[key] > 0))
 
     def grid_init():
         pen = [[jnp.full((M,), INF, jnp.float32) for _ in range(NE)] for _ in range(B)]
@@ -312,9 +379,11 @@ def _banded_dp(
         take = op < bp
         return jnp.where(take, op, bp), jnp.where(take, oc, bc)
 
-    def step_body(carry, i, pc, pc_prev, ceil_i, winrow, simrow):
+    def step_body(carry, i, pc, pc_prev, ceil_i, winrow, simrow, okrow=None):
         """One DP row. ``i`` may be a python int (unrolled) or a traced
-        scalar (lax.scan); ``winrow``/``simrow`` index like sequences."""
+        scalar (lax.scan); ``winrow``/``simrow``/``okrow`` index like
+        sequences. ``okrow[b]`` (when the dead-end filter is on) rescues an
+        edit move into the final edit level at band ``b``."""
         (prev2_pen, prev2_cnt, prev_pen, prev_cnt,
          preve_pen, preve_cnt, emit_pen, emit_cnt) = carry
         row_live = alive_c & (i <= dpth)
@@ -346,6 +415,8 @@ def _banded_dp(
                         & ~(sim < floor)
                         & ~(spen > (max_pen - q_pen))
                     )
+                    if okrow is not None and e == NE - 1:
+                        ok_s &= okrow[b]
                     bp, bc = merge(bp, bc, q_pen + spen, q_cnt + 0x1_0000, ok_s)
                     # swap: (i-2, b, e-1) (src/search.rs:935-989)
                     s_pen = prev2_pen[b][e - 1]
@@ -365,6 +436,8 @@ def _banded_dp(
                     d_pen = prev_pen[b + 1][e - 1]
                     d_cnt = prev_cnt[b + 1][e - 1]
                     ok_del = jnp.isfinite(d_pen) & ~(p_del > (max_pen - d_pen))
+                    if okrow is not None and e == NE - 1:
+                        ok_del &= okrow[b]
                     bp, bc = merge(bp, bc, d_pen + p_del, d_cnt + 0x100, ok_del)
                 new_pen[b][e] = bp
                 new_cnt[b][e] = bc
@@ -384,6 +457,8 @@ def _banded_dp(
                     & (hc >= 0)
                     & (j >= 2)
                 )
+                if okrow is not None and e == NE - 1:
+                    ok_ins &= okrow[b]
                 new_pen[b][e], new_cnt[b][e] = merge(
                     new_pen[b][e], new_cnt[b][e], ip + p_ins, ic + 1, ok_ins
                 )
@@ -403,6 +478,8 @@ def _banded_dp(
                     t_pen = preve_pen[b + 1][e - 1]
                     t_cnt = preve_cnt[b + 1][e - 1]
                     ok_t = jnp.isfinite(t_pen) & ~(p_del > (max_pen - t_pen))
+                    if okrow is not None and e == NE - 1:
+                        ok_t &= okrow[b]
                     ep, ec = merge(ep, ec, t_pen + p_del, t_cnt + 0x100, ok_t)
                 edead = ~row_live | (ep > ceil_i)
                 newe_pen[b][e] = jnp.where(edead, INF, ep)
@@ -433,13 +510,21 @@ def _banded_dp(
         for i in range(1, Lmax + 1):
             winrow = [win_rows[i - 1 + t] for t in range(B + 1)]
             simrow = [sb_rows[(i - 1) * B + b] for b in range(B)]
+            okrow = (
+                [okd_rows[(i - 1) * B + b] for b in range(B)]
+                if okd_rows is not None else None
+            )
             carry = step_body(
                 carry, i, pcls_T[i - 1], pcls_T[max(i - 2, 0)],
-                ceil_T[i - 1], winrow, simrow,
+                ceil_T[i - 1], winrow, simrow, okrow,
             )
     else:
         win = jnp.stack(win_rows, axis=0)                      # [WLEN, M]
         simband = jnp.stack(sb_rows, axis=0).reshape(Lmax, B, M)
+        okband = (
+            jnp.stack(okd_rows, axis=0).reshape(Lmax, B, M)
+            if okd_rows is not None else None
+        )
 
         def step(carry, i):
             pc = jax.lax.dynamic_slice_in_dim(pcls_T, i - 1, 1, axis=0)[0]
@@ -449,7 +534,11 @@ def _banded_dp(
             ceil_i = jax.lax.dynamic_slice_in_dim(ceil_T, i - 1, 1, axis=0)[0]
             winrow = jax.lax.dynamic_slice_in_dim(win, i - 1, B + 1, axis=0)
             simrow = jax.lax.dynamic_slice(simband, (i - 1, 0, 0), (1, B, M))[0]
-            return step_body(carry, i, pc, pc_prev, ceil_i, winrow, simrow), None
+            okrow = (
+                jax.lax.dynamic_slice(okband, (i - 1, 0, 0), (1, B, M))[0]
+                if okband is not None else None
+            )
+            return step_body(carry, i, pc, pc_prev, ceil_i, winrow, simrow, okrow), None
 
         carry, _ = jax.lax.scan(step, init, jnp.arange(1, Lmax + 1, dtype=jnp.int32))
     emit_pen, emit_cnt = carry[6], carry[7]
@@ -468,21 +557,22 @@ def _banded_dp(
     static_argnames=(
         "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
         "KH", "CAND", "KG", "E", "Lmax", "C", "MO",
-        "BITS", "P2F", "DEPTHS",
+        "BITS", "P2F", "DEPTHS", "DEADEND",
     ),
 )
 def _dp_pipeline_jit(
-    ids_pf, word_tbl, pf_starts, pf_match, pf_init,
+    ids_pf, ids_pf_w32, word_tbl, pf_starts, pf_match, pf_init,
     depth_arr, node_arr, path_cls_flat, path_node_flat,
     out_list, pat_len, pat_weight,
-    ids_dense, limit,
-    sim_flat, node_ceil,
+    ids_dense, ids_dense_w32, limit,
+    sim_flat, node_ceil, sb_edge_flat, out_count_arr,
     max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
     A, W, NL, TB, grid, chunkpf, halo, k,
     KH, CAND, KG, E, Lmax, C, MO,
     BITS,      # tuple of (word column, shift) per pattern
     P2F,       # tuple of field-index tuples per pattern
     DEPTHS,    # tuple of field depths
+    DEADEND=False,
 ):
     """Whole DP-verified fuzzy search as one dispatch; single int32 result
     buffer with the same layout as ops/fuzzy._fuzzy1_pipeline_jit:
@@ -495,18 +585,54 @@ def _dp_pipeline_jit(
     count_h, pos, words = packed_hits(
         ids_pf, word_tbl, pf_starts, pf_match, pf_init,
         A, W, NL, TB, grid, chunkpf, halo, k, KH,
+        ids_w32=ids_pf_w32,
     )
-    hit_ok = (pos >= 0) & (pos < limit)
+    cand_count, cand_field, cand_start = _expand_candidates(
+        pos, words, jnp.int32(0), limit, limit, E, CAND, BITS, P2F, DEPTHS
+    )
 
-    # Candidate expansion (all-static loops: field ids and depths are python
-    # ints, so no gathers): [n_combo, KH] -> compact to CAND.
-    #
-    # Run dedup: a hit run at consecutive ends e-1, e for the same pattern
-    # generates the same (field, start) from (e, b) and (e-1, b-1) — the DP
-    # for equal (field, start) is identical, so only the b == 0 copy (or the
-    # run's first end) is kept. True fuzzy matches fire several adjacent
-    # ends, so this cuts the candidate set ~2-3x before the DP.
+    pen_flat, cnt_flat = _banded_dp(
+        cand_field, cand_start,
+        path_cls_flat, path_node_flat, depth_arr,
+        ids_dense, limit, sim_flat, node_ceil,
+        max_pen, p_sub, p_ins, p_del, p_swap, floor,
+        E, Lmax, C,
+        ids_w32=ids_dense_w32,
+        deadend=DEADEND,
+        sb_edge_flat=sb_edge_flat,
+        out_count_arr=out_count_arr,
+    )                                             # [B*NE, M] each
+
+    total, rows = _emit_rows(
+        pen_flat, cnt_flat, cand_field, cand_start,
+        depth_arr, node_arr, out_list, pat_len, pat_weight,
+        limit, thr, E, MO, CAND, KG,
+    )
+    header = (
+        jnp.zeros((1, 4), jnp.int32)
+        .at[0, 0].set(count_h)
+        .at[0, 1].set(cand_count)
+        .at[0, 2].set(total)
+    )
+    return jnp.concatenate([header, rows], axis=0)
+
+
+def _expand_candidates(pos, words, start_lo, start_hi, pos_hi, E, CAND, BITS, P2F, DEPTHS):
+    """Hit (pos, words) -> compacted candidate (field, start) pairs with
+    ``start_lo <= start < start_hi`` and hit position ``< pos_hi`` (traced
+    scalars — the sharded path restricts starts to the shard's owned region
+    while hits may land in the right halo; reference ownership rule
+    src/stream.rs:262-297). All loops are static: field ids and depths are
+    python ints, so no gathers.
+
+    Run dedup: a hit run at consecutive ends e-1, e for the same pattern
+    generates the same (field, start) from (e, b) and (e-1, b-1) — the DP
+    for equal (field, start) is identical, so only the b == 0 copy (or the
+    run's first end) is kept. True fuzzy matches fire several adjacent
+    ends, so this cuts the candidate set ~2-3x before the DP.
+    """
     B = 2 * E + 1
+    hit_ok = (pos >= 0) & (pos < pos_hi)
     ends = pos + 1  # end-exclusive stream position of each hit
     prev_same = jnp.concatenate(
         [jnp.zeros((1,), bool), pos[1:] == pos[:-1] + 1]
@@ -524,7 +650,7 @@ def _dp_pipeline_jit(
             d = DEPTHS[fld]
             for b in range(B):
                 start = ends - (d + (b - E))
-                ok = fired & (start >= 0) & (start < limit)
+                ok = fired & (start >= start_lo) & (start < start_hi)
                 if b > 0:
                     ok = ok & ~dup
                 cf_list.append(jnp.where(ok, fld, -1))
@@ -541,23 +667,26 @@ def _dp_pipeline_jit(
     pair = cfs_all[csafe]                          # [CAND, 2]
     cand_field = jnp.where(cidx >= 0, pair[:, 0], -1)
     cand_start = jnp.where(cidx >= 0, pair[:, 1], 0)
+    return cand_count, cand_field, cand_start
 
-    pen_flat, cnt_flat = _banded_dp(
-        cand_field, cand_start,
-        path_cls_flat, path_node_flat, depth_arr,
-        ids_dense, limit, sim_flat, node_ceil,
-        max_pen, p_sub, p_ins, p_del, p_swap, floor,
-        E, Lmax, C,
-    )                                             # [B*NE, M] each
 
-    # Emission: channel-major (band, output-pattern) x candidate — all [M]
-    # vectors, candidate axis last, so nothing is lane-padded. The NE
-    # edit-count channels of one (candidate, band) all map to the SAME
-    # (pattern, start, end) tuple, and the host keeps only the max
-    # similarity, so they are pre-minimized HERE (strict <, so the lowest
-    # edit count wins penalty ties — the former emission-order tie-break):
-    # halves the emission count and therefore the result-buffer bytes on a
-    # host link that sustains only ~64 MB/s.
+def _emit_rows(
+    pen_flat, cnt_flat, cand_field, cand_start,
+    depth_arr, node_arr, out_list, pat_len, pat_weight,
+    limit, thr, E, MO, CAND, KG,
+):
+    """DP emission channels -> compacted 4-column match rows.
+
+    Emission: channel-major (band, output-pattern) x candidate — all [M]
+    vectors, candidate axis last, so nothing is lane-padded. The NE
+    edit-count channels of one (candidate, band) all map to the SAME
+    (pattern, start, end) tuple, and the host keeps only the max
+    similarity, so they are pre-minimized HERE (strict <, so the lowest
+    edit count wins penalty ties — the former emission-order tie-break):
+    halves the emission count and therefore the result-buffer bytes on a
+    host link that sustains only ~64 MB/s.
+    """
+    B = 2 * E + 1
     NE = E + 1
     alive = cand_field >= 0
     fsafe = jnp.maximum(cand_field, 0)
@@ -625,13 +754,7 @@ def _dp_pipeline_jit(
         ],
         axis=1,
     )
-    header = (
-        jnp.zeros((1, 4), jnp.int32)
-        .at[0, 0].set(count_h)
-        .at[0, 1].set(cand_count)
-        .at[0, 2].set(total)
-    )
-    return jnp.concatenate([header, rows], axis=0)
+    return total, rows
 
 
 def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[List]:
@@ -676,19 +799,27 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
     if np.float32(0.0) > max_pen:
         return []
 
-    ids_pf, n_pf = device_corpus.resident(
+    ids_pf, ids_pf_w32, n_pf = device_corpus.resident_words(
         haystack,
         ("pk-fuzzy", _space_token(engine)),
         lambda h: np.ascontiguousarray(pk.filt.transcode(h)[0], dtype=np.uint8),
     )
     narrow = dense.num_classes <= 256
-    ids_dense, n_d = device_corpus.resident(
-        haystack,
-        ("dense", _space_token(engine)),
-        lambda h: np.ascontiguousarray(
-            dense.transcode(h, view), dtype=np.uint8 if narrow else np.int32
-        ),
-    )
+    if narrow:
+        ids_dense, ids_dense_w32, n_d = device_corpus.resident_words(
+            haystack,
+            ("dense", _space_token(engine)),
+            lambda h: np.ascontiguousarray(dense.transcode(h, view), dtype=np.uint8),
+        )
+    else:
+        ids_dense, n_d = device_corpus.resident(
+            haystack,
+            ("dense", _space_token(engine)),
+            lambda h: np.ascontiguousarray(dense.transcode(h, view), dtype=np.int32),
+        )
+        import jax.numpy as _jnp
+
+        ids_dense_w32 = _jnp.zeros((0, 8), _jnp.uint32)
     assert n_pf == n_d == n
 
     NL, TB, chunkpf, grid = _derive_layout_resident(ids_pf.size, halo, pk.W)
@@ -729,9 +860,12 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
             jax.device_put(dense.pat_len),
             jax.device_put(dense.pat_weight),
             jax.device_put(dense.sim.reshape(-1)),
+            jax.device_put(dense.sb_edge.reshape(-1)),
+            jax.device_put(dense.out_count),
         )
         engine._dp_dev_tables = dtabs
-    dep_d, node_d, pcls_d, pnode_d, olist_d, plen_d, pw_d, sim_d = dtabs
+    (dep_d, node_d, pcls_d, pnode_d, olist_d, plen_d, pw_d, sim_d,
+     sbe_d, ocnt_d) = dtabs
     node_ceil = jax.device_put(ceil)
 
     nb = ids_pf.size
@@ -749,11 +883,11 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
     while True:
         buf = jax.device_get(
             _dp_pipeline_jit(
-                ids_pf, tbl, sb, mb, ib,
+                ids_pf, ids_pf_w32, tbl, sb, mb, ib,
                 dep_d, node_d, pcls_d, pnode_d,
                 olist_d, plen_d, pw_d,
-                ids_dense, np.int32(n),
-                sim_d, node_ceil,
+                ids_dense, ids_dense_w32, np.int32(n),
+                sim_d, node_ceil, sbe_d, ocnt_d,
                 max_pen, pens.substitution, pens.insertion, pens.deletion,
                 pens.swap, engine.min_symbol_similarity, thr,
                 A=pk.A, W=pk.W, NL=NL, TB=TB, grid=grid, chunkpf=chunkpf,
@@ -761,6 +895,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
                 KH=KH, CAND=CAND, KG=KG, E=E, Lmax=vf.max_depth,
                 C=dense.num_classes, MO=dense.max_out,
                 BITS=BITS, P2F=P2F, DEPTHS=DEPTHS,
+                DEADEND=dense.has_multibyte_edges,
             )
         )
         count_h, cand_count, total = int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])

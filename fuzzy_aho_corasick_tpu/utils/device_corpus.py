@@ -87,6 +87,56 @@ def resident(
     return dev, n
 
 
+_pack_w32 = None
+
+
+def resident_words(
+    haystack: str,
+    space: tuple,
+    transcode: Callable[[str], np.ndarray],
+) -> Tuple[object, object, int]:
+    """Like :func:`resident` (uint8 spaces only) but also returns the
+    corpus's u32-packed word view ``[nb/32, 8]`` as a second device-resident
+    buffer.
+
+    The window-fetch kernels (banded DP, hit replay) read the corpus as
+    aligned 32-byte rows of u32 words; XLA lowers an in-graph
+    ``bitcast_convert_type(u8[n/4, 4]) -> u32`` as an elementwise convert +
+    layout copy + shift-reduce over the whole corpus (~45 ms per 100 MB on a
+    v5e — measured as the single largest cost of the fuzzy pipeline when run
+    per search). Packing once per corpus residency and caching removes it
+    from every search.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    global _held_bytes, _pack_w32
+    ids, n = resident(haystack, space, transcode)
+    key = (hash(haystack), len(haystack), ("w32",) + space)
+    hit = _lru.get(key)
+    if hit is not None and (hit[0] is haystack or hit[0] == haystack):
+        _lru.move_to_end(key)
+        return ids, hit[1], n
+
+    if _pack_w32 is None:
+
+        @jax.jit
+        def _pack(i8):
+            return jax.lax.bitcast_convert_type(
+                i8.reshape(-1, 4), jnp.uint32
+            ).reshape(-1, 8)
+
+        _pack_w32 = _pack
+    w32 = jax.block_until_ready(_pack_w32(ids))
+    _held_bytes += w32.size * 4
+    _lru[key] = (haystack, w32, n)
+    while _held_bytes > CAPACITY_BYTES and len(_lru) > 1:
+        _, (_, old_dev, old_n) = _lru.popitem(last=False)
+        _held_bytes -= old_dev.size * old_dev.dtype.itemsize
+        del old_dev
+    return ids, w32, n
+
+
 def clear() -> None:
     """Drop every cached device buffer (tests / memory pressure)."""
     global _held_bytes

@@ -72,7 +72,7 @@ class HaystackView:
 
     __slots__ = (
         "haystack", "ascii", "case_insensitive", "_texts", "_offsets",
-        "_chars", "_offsets_np",
+        "_chars", "_offsets_np", "_bytes",
     )
 
     def __init__(self, haystack: str, case_insensitive: bool):
@@ -80,6 +80,7 @@ class HaystackView:
         self.case_insensitive = case_insensitive
         self.ascii = haystack.isascii()
         self._offsets_np = None
+        self._bytes = None
         if self.ascii:
             self._texts = None
             self._offsets = None
@@ -103,6 +104,13 @@ class HaystackView:
         if self.ascii:
             return len(self.haystack)
         return len(self._texts)
+
+    def hay_bytes(self) -> bytes:
+        """UTF-8 bytes of the (unfolded) haystack, encoded once per view —
+        re-encoding costs ~18 ms per 100 MB and showed up in every search."""
+        if self._bytes is None:
+            self._bytes = self.haystack.encode("utf-8")
+        return self._bytes
 
     def byte_offset(self, idx: int) -> int:
         """Byte offset of grapheme ``idx`` (reference src/grapheme.rs:36,57,96)."""

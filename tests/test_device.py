@@ -218,3 +218,37 @@ def test_fuzzy_device_seed_filter_1k_dictionary():
     cand = sf.candidate_starts(hay, len(hay))
     assert 0 < len(cand) <= len(hay)
     compare(engine, hay, 0.8, key=span_key)
+
+
+def test_unicode_deadend_filter_parity():
+    """Reference quirk (bug-for-bug parity): the last-edit dead-end filter
+    credits only SINGLE-byte edges (src/structs.rs:471-476), so a one-edit
+    'éllo' never matches 'héllo' — the multi-byte 'é' edge that would
+    advance does not rescue the state (src/search.rs:839-847, 1050-1063).
+    The device kernels must drop exactly the same states (ops/dense.py
+    sb_edge); round 1 emitted extra Unicode matches here."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["héllo", "wörld"])
+    )
+    filler = "àbçdé fgh íjk " * 11
+    hay = ""
+    for i in range(80):
+        hay += filler[: 4 + (i * 13) % 100] + ("héllo" if i % 2 else "wörlt")
+    # ASCII control: the same shape with single-byte edges DOES emit the
+    # leading-deletion match.
+    eng_a = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["hello"])
+    )
+    eng_a.backend = "oracle"
+    spans_a = {(m.start, m.end) for m in eng_a.search_raw("xx ello yy", 0.7)}
+    assert (3, 7) in spans_a  # 'ello' via leading deletion
+    engine.backend = "oracle"
+    truth = engine.search_raw(hay, 0.7)
+    assert all(m.text != "éllo" for m in truth)  # the reference quirk
+    compare(engine, hay, 0.7, key=span_key)

@@ -5,8 +5,12 @@ src/tests.rs:1059-1142)."""
 
 import numpy as np
 
-from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, SearchOptions
-from fuzzy_aho_corasick_tpu.parallel.shard_search import default_mesh, sharded_exact_search
+from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits, SearchOptions
+from fuzzy_aho_corasick_tpu.parallel.shard_search import (
+    default_mesh,
+    sharded_exact_search,
+    sharded_fuzzy_search,
+)
 
 
 def key(m):
@@ -38,3 +42,94 @@ def test_sharded_collective_count():
     hay = "ab " * 500
     got = sharded_exact_search(engine, hay, 0.0, default_mesh())
     assert len(got) == 500
+
+
+def _fuzzy_engine(edits=1):
+    return (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(edits))
+        .case_insensitive(True)
+        .build(["needle", "haystack", "boundary"])
+    )
+
+
+def test_sharded_fuzzy_equals_oracle():
+    """Fuzzy E=1 sharded DP pipeline == oracle, with exact and one-edit
+    needle variants landing at every shard-boundary alignment (the fuzzy
+    form of the reference's parallel-window equivalence,
+    src/tests.rs:1186-1237)."""
+    engine = _fuzzy_engine()
+    filler = "xyzzy plugh qwertz " * 9
+    variants = ["needle", "nedle", "neXdle", "neddle", "boundray", "boundary"]
+    hay = ""
+    for i in range(150):
+        hay += filler[: 5 + (i * 17) % 110] + variants[i % len(variants)]
+    engine.backend = "oracle"
+    truth = sorted(key(m) for m in engine.search_raw(hay, 0.72))
+    got = sharded_fuzzy_search(engine, hay, 0.72, default_mesh())
+    assert got is not None, "engine should be packed-prefilter eligible"
+    assert sorted(key(m) for m in got) == truth
+    assert len(truth) > 100
+    assert engine.last_stats["backend"] == "device-fuzzy-sharded"
+    assert engine.last_stats["shards"] == 8
+
+
+def test_sharded_fuzzy_needle_straddles_every_boundary():
+    """A fuzzed needle planted ACROSS each shard boundary must be found by
+    exactly one shard (the start < commit ownership rule)."""
+    engine = _fuzzy_engine()
+    n_dev = 8
+    # Build the corpus, then compute the shard length the wrapper will use
+    # and plant needles across each boundary.
+    base_len = 128 * n_dev * 4  # 4 x 128-blocks per shard
+    hay = list("." * base_len)
+    shard_len = 128 * 4
+    planted = 0
+    for d in range(1, n_dev):
+        b = d * shard_len
+        w = "nedle"  # one deletion
+        s = b - len(w) // 2
+        hay[s : s + len(w)] = w
+        planted += 1
+    hay = "".join(hay)
+    engine.backend = "oracle"
+    truth = sorted(key(m) for m in engine.search_raw(hay, 0.72))
+    got = sharded_fuzzy_search(engine, hay, 0.72, default_mesh())
+    assert sorted(key(m) for m in got) == truth
+    assert len(truth) == planted
+
+
+def test_sharded_fuzzy_unicode_offsets():
+    """Unicode corpus: byte offsets must survive shard-boundary rebasing
+    (grapheme indices shard; byte offsets come from the view)."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["héllo", "wörld"])
+    )
+    filler = "àbçdé fgh íjk " * 11
+    hay = ""
+    for i in range(80):
+        hay += filler[: 4 + (i * 13) % 100] + ("héllo" if i % 2 else "wörlt")
+    engine.backend = "oracle"
+    truth = sorted(key(m) for m in engine.search_raw(hay, 0.7))
+    got = sharded_fuzzy_search(engine, hay, 0.7, default_mesh())
+    assert got is not None
+    assert sorted(key(m) for m in got) == truth
+    assert len(truth) > 50
+    hb = hay.encode("utf-8")
+    for m in got:
+        assert hb[m.start : m.end].decode("utf-8") == m.text
+
+
+def test_sharded_fuzzy_edits2():
+    """The sharded DP path serves any fast-path edit budget, not just E=1."""
+    engine = _fuzzy_engine(edits=2)
+    hay = ("pad " * 101 + "nele ") * 60  # two deletions of "needle"
+    engine.backend = "oracle"
+    truth = sorted(key(m) for m in engine.search_raw(hay, 0.55))
+    got = sharded_fuzzy_search(engine, hay, 0.55, default_mesh())
+    assert got is not None
+    assert sorted(key(m) for m in got) == truth
+    assert len(truth) >= 60
