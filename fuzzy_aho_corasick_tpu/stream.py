@@ -217,7 +217,13 @@ class StreamMatches:
                 return self.pending.popleft()
             if self.errored:
                 raise StopIteration
-            w = self.reader.next_window()
+            try:
+                w = self.reader.next_window()
+            except Exception:
+                # Reader IO errors propagate ONCE, then iteration ends
+                # (reference src/stream.rs:165-204).
+                self.errored = True
+                raise
             if w is None:
                 raise StopIteration
             batch: List[StreamMatch] = []
@@ -225,32 +231,173 @@ class StreamMatches:
             self.pending.extend(batch)
 
 
+def _separator_char(engine) -> str:
+    """A char no pattern contains — window regions joined by a run of it
+    longer than any possible match span are mutually invisible."""
+    sep = getattr(engine, "_stream_sep_char", None)
+    if sep is None:
+        used = set()
+        for p in engine._patterns:
+            used.update(p.pattern)
+        sep = next(chr(c) for c in range(32) if chr(c) not in used)
+        engine._stream_sep_char = sep
+    return sep
+
+
+def _batch_window_matches(engine, windows: List[_StreamWindow], threshold: float):
+    """Per-window match lists for a whole batch from ONE engine search.
+
+    The TPU-native fan-out (reference thread pool: src/stream.rs:378-429):
+    window texts are joined with dead-separator runs longer than
+    ``max_match_graphemes()`` — no match can span two windows, so the
+    superwindow's raw matches restricted to one window's byte region are
+    exactly that window's own ``search_raw`` results. Order/Overlap
+    post-processing then runs per window, preserving the sequential API's
+    byte-identical semantics (windows see identical match sets either way).
+    """
+    from .matches import FuzzyMatches
+
+    if len(windows) == 1:
+        w = windows[0]
+        return [_apply_window(engine, w.text, engine.search_raw(w.text, threshold))]
+
+    sep = _separator_char(engine) * (engine.max_match_graphemes() + 1)
+    sep_blen = len(sep)  # ASCII control char: 1 byte each
+    offs: List[int] = []
+    pos = 0
+    parts: List[str] = []
+    for i, w in enumerate(windows):
+        offs.append(pos)
+        parts.append(w.text)
+        pos += len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)
+        pos += sep_blen
+        parts.append(sep)
+    super_text = "".join(parts)
+
+    raw = engine.search_raw(super_text, threshold)
+    per_window: List[List[FuzzyMatch]] = [[] for _ in windows]
+    bounds = [
+        (offs[i], offs[i] + (len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)))
+        for i, w in enumerate(windows)
+    ]
+    import bisect
+
+    starts = [b[0] for b in bounds]
+    for m in raw:
+        i = bisect.bisect_right(starts, m.start) - 1
+        if i < 0:
+            continue
+        lo, hi = bounds[i]
+        if m.start >= lo and m.end <= hi:
+            per_window[i].append(
+                FuzzyMatch(
+                    insertions=m.insertions, deletions=m.deletions,
+                    substitutions=m.substitutions, swaps=m.swaps, edits=m.edits,
+                    pattern_index=m.pattern_index, pattern=m.pattern,
+                    start=m.start - lo, end=m.end - lo,
+                    similarity=m.similarity, text=m.text,
+                )
+            )
+    return [
+        _apply_window(engine, w.text, ms) for w, ms in zip(windows, per_window)
+    ]
+
+
+def _apply_window(engine, text: str, raw_matches):
+    """The sequential path's per-window post-processing: Default order +
+    NonOverlapping (reference src/stream.rs:262-297)."""
+    from .matches import FuzzyMatches
+    from .options import Order, Overlap
+
+    fm = FuzzyMatches(text, list(raw_matches))
+    fm.apply(Order.Default, Overlap.NonOverlapping)
+    return list(fm)
+
+
+class _WindowProducer:
+    """Background reader thread filling a bounded window queue — the
+    reference's producer thread over a bounded channel
+    (src/stream.rs:386-420). Reading the next windows overlaps with the
+    device search of the current batch."""
+
+    def __init__(self, wr: WindowReader, depth: int):
+        import queue
+        import threading
+
+        self.wr = wr
+        self.q: "queue.Queue" = queue.Queue(maxsize=max(2, depth))
+        self.exc: Optional[BaseException] = None
+        self.eof = False
+
+        def run():
+            try:
+                while True:
+                    w = wr.next_window()
+                    self.q.put(w)
+                    if w is None:
+                        return
+            except BaseException as e:  # propagate IO errors once (stream.rs:165-204)
+                self.exc = e
+                self.q.put(None)
+
+        self.thread = threading.Thread(target=run, daemon=True)
+        self.thread.start()
+
+    def next_batch(self, n: int) -> List[_StreamWindow]:
+        out: List[_StreamWindow] = []
+        for _ in range(n):
+            if self.eof:
+                break
+            w = self.q.get()
+            if w is None:
+                self.eof = True
+                if self.exc is not None:
+                    exc, self.exc = self.exc, None
+                    raise exc
+                break
+            out.append(w)
+        return out
+
+
 def search_stream_parallel(
     engine, reader, threshold: float, shards: int, on_match: Callable[[StreamMatch], None]
 ) -> int:
     """Parallel streaming search (reference src/stream.rs:378-429).
 
-    TPU-native form: windows are batched and dispatched together so the device
-    kernel (already data-parallel over every start position, and shardable
-    over the mesh) does the fan-out; results reach ``on_match`` on the calling
-    thread, unordered across windows like the reference.
+    TPU-native form of the reference's producer + N-worker pool: a producer
+    thread reads/segments windows ahead of the device (bounded queue,
+    2 x shards like the reference's sync_channel), and each batch of
+    ``shards`` windows is joined with dead separators into ONE device
+    dispatch — the kernels are data-parallel over every start position, so
+    the batch IS the fan-out. Results are byte-identical to
+    :func:`search_stream` (same window geometry, same per-window
+    post-processing) and arrive in stream order.
     """
     shards = max(1, shards)
     wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
+    prod = _WindowProducer(wr, depth=2 * shards)
     while True:
-        batch_windows: List[_StreamWindow] = []
-        for _ in range(shards):
-            w = wr.next_window()
-            if w is None:
-                break
-            batch_windows.append(w)
+        batch_windows = prod.next_batch(shards)
         if not batch_windows:
             break
-        for w in batch_windows:
-            out: List[StreamMatch] = []
-            _window_matches(engine, w.text, w.base, w.commit, threshold, out)
-            for m in out:
-                on_match(m)
+        batches = _batch_window_matches(engine, batch_windows, threshold)
+        for w, ms in zip(batch_windows, batches):
+            for m in ms:
+                if m.start < w.commit:
+                    on_match(
+                        StreamMatch(
+                            start=w.base + m.start,
+                            end=w.base + m.end,
+                            pattern_index=m.pattern_index,
+                            similarity=m.similarity,
+                            insertions=m.insertions,
+                            deletions=m.deletions,
+                            substitutions=m.substitutions,
+                            swaps=m.swaps,
+                            edits=m.edits,
+                            text=m.text,
+                        )
+                    )
     return wr.total
 
 
@@ -324,21 +471,18 @@ def replace_stream_parallel(engine, reader, writer, shards: int, threshold: floa
     """
     shards = max(1, shards)
     wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
+    prod = _WindowProducer(wr, depth=2 * shards)
     cursor = _ReplaceCursor()
     while True:
-        batch_windows: List[_StreamWindow] = []
-        for _ in range(shards):
-            w = wr.next_window()
-            if w is None:
-                break
-            batch_windows.append(w)
+        batch_windows = prod.next_batch(shards)
         if not batch_windows:
             break
-        # Search phase (parallelizable across devices); reassembly in order.
-        results = [
-            (w, _window_replace_matches(engine, w.text, w.commit, threshold))
-            for w in batch_windows
-        ]
-        for w, matches in results:
-            cursor.emit_window(writer, callback, w.base, w.text, w.commit, matches)
+        # Search phase: one batched device dispatch (the reference's worker
+        # pool); reassembly strictly in stream order on the calling thread
+        # (the seq-tagged collector, src/stream.rs:603-630).
+        batches = _batch_window_matches(engine, batch_windows, threshold)
+        for w, ms in zip(batch_windows, batches):
+            owned = [m for m in ms if m.start < w.commit]
+            owned.sort(key=lambda m: (m.start, m.end))
+            cursor.emit_window(writer, callback, w.base, w.text, w.commit, owned)
     return cursor.written

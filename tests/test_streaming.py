@@ -146,3 +146,77 @@ def test_stream_unicode_boundary():
     opts = SearchOptions.new().with_threshold(0.9).sorted().non_overlapping()
     truth = [(m.start, m.end) for m in engine.search(text, opts)]
     assert sorted(got) == sorted(truth)
+
+
+def test_stream_io_error_propagates_once():
+    """Reader IO errors propagate once from the lazy iterator, then
+    iteration ends (reference src/stream.rs:165-204)."""
+    engine = _engine()
+
+    class FlakyReader:
+        def __init__(self):
+            self.calls = 0
+
+        def read(self, n):
+            self.calls += 1
+            if self.calls > 2:
+                raise OSError("disk on fire")
+            return b"pad needle pad " * 200
+
+    it = engine.stream_matches(FlakyReader(), 0.8)
+    got = []
+    raised = False
+    try:
+        for m in it:
+            got.append(m)
+    except OSError:
+        raised = True
+    assert raised
+    assert it.errored
+    # After the error propagated once, iteration ends cleanly.
+    assert list(it) == []
+
+
+def test_parallel_stream_identity_multibatch():
+    """Parallel streaming must be byte/result-identical to sequential across
+    multiple batches, including matches straddling window commits
+    (reference src/tests.rs:1186-1237)."""
+    import io
+
+    engine = _engine()
+    input_ = _multi_window_input() * 3
+    seq = []
+    engine.search_stream(input_.encode(), 0.8, lambda m: seq.append(
+        (m.start, m.end, m.pattern_index, float(m.similarity))))
+    for shards in (1, 2, 8):
+        par = []
+        engine.search_stream_parallel(input_.encode(), 0.8, shards, lambda m: par.append(
+            (m.start, m.end, m.pattern_index, float(m.similarity))))
+        assert par == seq, f"shards={shards}: parallel differs from sequential"
+
+    out_seq = io.BytesIO()
+    engine.replace_stream(input_.encode(), out_seq, 0.8, lambda m: "<X>")
+    for shards in (2, 8):
+        out_par = io.BytesIO()
+        n = engine.replace_stream_parallel(input_.encode(), out_par, shards, 0.8, lambda m: "<X>")
+        assert out_par.getvalue() == out_seq.getvalue()
+        assert n == len(out_par.getvalue())
+
+
+def test_parallel_stream_separator_isolation():
+    """Patterns containing control chars must not break the batched-window
+    separator (a different dead char is chosen automatically)."""
+    from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
+
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .build(["a\x00b", "needle"])
+    )
+    input_ = ("pad " * 50 + "a\x00b " + "pad " * 50 + "nedle ") * 40
+    seq = []
+    engine.search_stream(input_.encode(), 0.7, lambda m: seq.append((m.start, m.end, m.pattern_index)))
+    par = []
+    engine.search_stream_parallel(input_.encode(), 0.7, 4, lambda m: par.append((m.start, m.end, m.pattern_index)))
+    assert par == seq
+    assert len(seq) >= 80
