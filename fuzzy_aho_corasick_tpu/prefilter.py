@@ -167,8 +167,20 @@ class BitapFilter:
         return None if k > MAX_USEFUL_K else k
 
     def search_unsorted(self, engine, haystack: str, threshold: float) -> List[FuzzyMatch]:
-        """Pre-filtered raw search (reference src/prefilter.rs:304-374)."""
+        """Pre-filtered raw search (reference src/prefilter.rs:304-374).
+
+        On kernel-eligible configurations the fast lane IS the device path:
+        the packed multi-pattern shift-AND scan is fused into the device
+        pipelines (ops/packed_bitap feeding ops/verify_dp — the TPU-native
+        form of the reference's scan-then-re-search), so ``Prefiltered``
+        routes straight there and only the host window re-search below
+        serves the residual configs (oracle-only engines, tiny inputs).
+        """
         thr = np.float32(threshold)
+        if engine.backend != "oracle" and len(haystack) >= engine.AUTO_DEVICE_MIN:
+            dev = engine._device_engine()
+            if dev.supports(haystack):
+                return dev.search_raw(haystack, threshold)
         ks: List[int] = []
         for bp in self.patterns:
             k = self.k_for(bp, thr)

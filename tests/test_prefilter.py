@@ -112,3 +112,27 @@ def test_chunked_bitap_equals_scalar():
         bitap_windows(mask, m, k, ids, a)
         bitap_windows_chunked(mask, m, k, ids, b, chunk=256)
         assert sorted(set(a)) == sorted(set(b)), f"trial {trial}: m={m} k={k}"
+
+
+def test_prefiltered_routes_to_device_on_large_inputs():
+    """The Prefiltered fast lane IS the device pipeline when eligible: the
+    packed shift-AND prefilter is fused into the kernels
+    (reference prefilter.rs:304-374 -> ops/packed_bitap + ops/verify_dp)."""
+    from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits, SearchOptions
+
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["needle", "pattern"])
+    )
+    hay = ("filler words here " * 40 + "nedle pattren ") * 60
+    assert len(hay) >= engine.AUTO_DEVICE_MIN
+    opts = SearchOptions.new().with_threshold(0.8).sorted().non_overlapping()
+    pf = engine.with_prefilter()
+    assert pf.is_active()
+    got = [(m.start, m.end, m.pattern_index) for m in pf.search(hay, opts)]
+    assert engine.last_stats["backend"].startswith("device"), engine.last_stats
+    truth = [(m.start, m.end, m.pattern_index) for m in engine.search(hay, opts)]
+    assert got == truth
+    assert len(got) >= 60
