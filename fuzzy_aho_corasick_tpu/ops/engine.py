@@ -56,11 +56,31 @@ class DeviceEngine:
             and e.auto_beam is None
             and not e.nodes[0].output  # no empty patterns
         )
+        # Typed mode: per-type caps and/or per-pattern limits served by the
+        # type-vector-channel DP (reference general path src/search.rs:87-169;
+        # ops/verify_dp.TypedSpec). Requires the packed prefilter model.
+        self._typed_ok = False
+        if (
+            not self._exact_ok
+            and not self._fuzzy_ok
+            and not e.mappings
+            and e.beam_width is None
+            and e.auto_beam is None
+            and not e.nodes[0].output
+        ):
+            from .packed_bitap import packed_fuzzy_of
+            from .verify_dp import typed_spec_of, verify_fields_of
+
+            self._typed_ok = (
+                typed_spec_of(e) is not None
+                and packed_fuzzy_of(e) is not None
+                and verify_fields_of(e) is not None
+            )
 
     def supports(self, haystack: str) -> bool:
         """Whether the device path serves this (engine, haystack) pair with
         results identical to the oracle."""
-        if not (self._exact_ok or self._fuzzy_ok):
+        if not (self._exact_ok or self._fuzzy_ok or self._typed_ok):
             return False
         # Root-output (empty-pattern) exact configs keep the oracle's NaN
         # semantics; not worth a kernel.
@@ -73,6 +93,10 @@ class DeviceEngine:
             from .exact import exact_search_device
 
             return exact_search_device(self.engine, haystack, threshold)
-        from .fuzzy import fuzzy_search_device
+        if self._fuzzy_ok:
+            from .fuzzy import fuzzy_search_device
 
-        return fuzzy_search_device(self.engine, haystack, threshold)
+            return fuzzy_search_device(self.engine, haystack, threshold)
+        from .verify_dp import fuzzy_search_typed_device
+
+        return fuzzy_search_typed_device(self.engine, haystack, threshold)

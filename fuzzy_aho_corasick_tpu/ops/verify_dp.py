@@ -552,12 +552,504 @@ def _banded_dp(
 # Fused pipeline: hits -> candidates -> DP -> compacted matches
 # ---------------------------------------------------------------------------
 
+
+# ---------------------------------------------------------------------------
+# Typed-limits DP: channels are edit-type VECTORS, not counts
+# ---------------------------------------------------------------------------
+
+_CAP_BIG = 255
+
+
+def _caps_of(lim) -> tuple:
+    """(cap_edits, cap_ins, cap_del, cap_subs, cap_swaps) with None -> BIG
+    (finalized limits: either ``edits_`` set with per-type None = unlimited
+    within the total, or ``edits_`` None with every per-type cap set —
+    reference src/structs.rs:317-335)."""
+    if lim is None:
+        return (0, 0, 0, 0, 0)
+    g = lambda v: _CAP_BIG if v is None else int(v)
+    return (g(lim.edits_), g(lim.insertions_), g(lim.deletions_),
+            g(lim.substitutions_), g(lim.swaps_))
+
+
+def _total_of(lim) -> int:
+    if lim is None:
+        return 0
+    if lim.edits_ is not None:
+        return int(lim.edits_)
+    return int((lim.insertions_ or 0) + (lim.deletions_ or 0)
+               + (lim.substitutions_ or 0) + (lim.swaps_ or 0))
+
+
+class TypedSpec:
+    """Static channel spec for per-type / per-pattern limit configurations.
+
+    The uniform DP keeps one state per (cell, edit COUNT); with per-type
+    caps two equal-penalty scripts with different type mixes are no longer
+    interchangeable, so channels become the feasible type VECTORS
+    (i, d, s, w) — exactly the oracle's visited-key granularity
+    (src/search.rs:31-50). Per-node caps (reference get_node_limits,
+    src/search.rs:60-71 + ahead-checks 87-169) mask moves per path row;
+    per-pattern emission limits (src/search.rs:151-169) mask channels per
+    limits-class at emission.
+    """
+
+    __slots__ = (
+        "vecs", "E", "sub_src", "ins_src", "del_src", "swap_src", "cnts",
+        "node_caps", "root_caps", "limcls", "adm", "n_limcls",
+    )
+
+    @staticmethod
+    def build(engine) -> Optional["TypedSpec"]:
+        pats = engine._patterns
+        lims = [p.limits if p.limits is not None else engine.limits for p in pats]
+        if all(l is None for l in lims):
+            return None
+        totals = [_total_of(l) for l in lims]
+        E = max(totals)
+        if not (1 <= E <= 3):
+            return None  # channel count grows ~E^4; beyond 3 the oracle serves
+        caps = [_caps_of(l) for l in lims]
+        loose = tuple(max(c[i] for c in caps) for i in range(5))
+        # Feasible vectors under the loosest applicable caps.
+        vecs = []
+        for i in range(min(E, loose[1]) + 1):
+            for d in range(min(E, loose[2]) + 1):
+                for su in range(min(E, loose[3]) + 1):
+                    for w in range(min(E, loose[4]) + 1):
+                        if i + d + su + w <= min(E, loose[0]):
+                            vecs.append((i, d, su, w))
+        vecs.sort(key=lambda v: (sum(v), v))
+        index = {v: c for c, v in enumerate(vecs)}
+        spec = TypedSpec()
+        spec.vecs = tuple(vecs)
+        spec.E = E
+        spec.sub_src = tuple(
+            index.get((v[0], v[1], v[2] - 1, v[3]), -1) for v in vecs
+        )
+        spec.ins_src = tuple(
+            index.get((v[0] - 1, v[1], v[2], v[3]), -1) for v in vecs
+        )
+        spec.del_src = tuple(
+            index.get((v[0], v[1] - 1, v[2], v[3]), -1) for v in vecs
+        )
+        spec.swap_src = tuple(
+            index.get((v[0], v[1], v[2], v[3] - 1), -1) for v in vecs
+        )
+        spec.cnts = tuple(
+            v[0] | (v[1] << 8) | (v[2] << 16) | (v[3] << 24) for v in vecs
+        )
+
+        # Per-node caps (pattern_index -> its limits, else the global).
+        nodes = engine.nodes
+        nc = np.zeros((len(nodes), 5), dtype=np.int32)
+        gcaps = _caps_of(engine.limits)
+        for ni, node in enumerate(nodes):
+            pi = node.pattern_index
+            if pi is not None and pats[pi].limits is not None:
+                nc[ni] = _caps_of(pats[pi].limits)
+            else:
+                nc[ni] = gcaps
+        spec.node_caps = nc
+        spec.root_caps = tuple(int(x) for x in nc[0])
+
+        # Emission admissibility per limits-class (src/search.rs:151-169).
+        sig_ids: dict = {}
+        limcls = np.zeros(len(pats), dtype=np.int32)
+        adm = []
+        for pi, l in enumerate(lims):
+            cs = _caps_of(l)
+            lc = sig_ids.get(cs)
+            if lc is None:
+                lc = len(adm)
+                sig_ids[cs] = lc
+                adm.append(tuple(
+                    int(sum(v) <= cs[0] and v[0] <= cs[1] and v[1] <= cs[2]
+                        and v[2] <= cs[3] and v[3] <= cs[4])
+                    for v in vecs
+                ))
+            limcls[pi] = lc
+        spec.limcls = limcls
+        spec.adm = tuple(adm)
+        spec.n_limcls = len(adm)
+        return spec
+
+
+def typed_spec_of(engine) -> Optional[TypedSpec]:
+    sp = getattr(engine, "_typed_spec_cache", None)
+    if sp is None:
+        sp = TypedSpec.build(engine)
+        engine._typed_spec_cache = sp if sp is not None else False
+    return sp if sp is not False else None
+
+
+def _banded_dp_typed(
+    cand_field, cand_start,
+    path_cls_flat, path_node_flat, depth_arr, node_caps_flat,
+    ids_pad, limit, sim_flat, node_ceil,
+    max_pen, p_sub, p_ins, p_del, p_swap, floor,
+    E, Lmax, C,
+    TYPED,
+    ids_w32=None,
+    lo=None,
+):
+    """Banded Damerau DP with typed channels (see :class:`TypedSpec`).
+
+    Same window/sim-band machinery and cell recurrences as
+    :func:`_banded_dp` (general-path semantics: MEF=255, so NO last-edit
+    dead-end filters and no window skip — reference src/search.rs:204-393
+    monomorphization), plus:
+
+    * channels indexed by type vector; per-channel counts are static;
+    * ahead-check masks from the SOURCE row's node caps (substitution/
+      insertion/deletion use the popped state's node limits, swap the
+      TARGET node's — src/search.rs:87-169, 318-321 in the oracle).
+
+    Returns (emit_pen [B*NCH, M],) — counts are static per channel.
+    """
+    VECS, SUB_SRC, INS_SRC, DEL_SRC, SWAP_SRC, ROOT_CAPS = TYPED
+    NCH = len(VECS)
+    M = cand_field.shape[0]
+    B = 2 * E + 1
+    F = depth_arr.shape[0]
+    npad = ids_pad.shape[0]
+    INF = jnp.float32(np.inf)
+
+    f = jnp.maximum(cand_field, 0)
+    alive_c = cand_field >= 0
+    WLEN = Lmax + 2 * E + 1
+    if lo is None:
+        lo = jnp.int32(0)
+
+    # Pre-gather: class path + depth in one row gather; ceiling + the five
+    # per-row cap columns in another (see _banded_dp's layout notes).
+    path_cls2d = path_cls_flat.reshape(F, Lmax)
+    path_node2d = path_node_flat.reshape(F, Lmax)
+    ceil_tab = node_ceil[path_node2d]                         # [F, Lmax]
+    caps_tab = node_caps_flat.reshape(-1, 5)[path_node2d]     # [F, Lmax, 5]
+    ceil_caps = jnp.concatenate(
+        [ceil_tab] + [caps_tab[:, :, q].astype(jnp.float32) for q in range(5)],
+        axis=1,
+    )                                                          # [F, 6*Lmax]
+    pc_d = jnp.concatenate([path_cls2d, depth_arr[:, None]], axis=1)
+    pcd_T, cc_T = jax.lax.optimization_barrier(
+        (pc_d[f].T, ceil_caps[f].T)               # [Lmax+1, M], [6*Lmax, M]
+    )
+    pcls_T = pcd_T[:Lmax]
+    dpth = jnp.where(alive_c, pcd_T[Lmax], 0)
+    ceil_T = cc_T[:Lmax]
+    caps_T = [cc_T[(1 + q) * Lmax : (2 + q) * Lmax] for q in range(5)]
+
+    def cap_row(q: int, row):
+        """Cap ``q`` at path row ``row`` (1-based; row 0 = root/global)."""
+        if isinstance(row, int) and row == 0:
+            return jnp.full((M,), np.float32(ROOT_CAPS[q]), jnp.float32)
+        return caps_T[q][row - 1]
+
+    # Haystack window (same two-aligned-row fetch as _banded_dp).
+    base_abs = cand_start - (E + 1)
+    win_rows = []
+    if ids_pad.dtype == jnp.uint8 and npad % 32 == 0 and WLEN <= 60:
+        if ids_w32 is None or ids_w32.shape[0] == 0:
+            ids_w32 = jax.lax.bitcast_convert_type(
+                ids_pad.reshape(-1, 4), jnp.uint32
+            ).reshape(-1, 8)
+        nrows_mat = ids_w32.shape[0]
+        rb = jnp.maximum(base_abs, 0) >> 5
+        fetch = jnp.concatenate(
+            [ids_w32[jnp.minimum(rb + t, nrows_mat - 1)] for t in range(2)],
+            axis=1,
+        )
+        fetT = jax.lax.optimization_barrier(fetch.T)
+        d0 = base_abs - (rb << 5)
+        for o in range(WLEN):
+            q = d0 + o
+            q_c = jnp.maximum(q, 0)
+            wi = q_c >> 2
+            sh = ((q_c & 3) * 8).astype(jnp.uint32)
+            lo_w = max(0, (o - (E + 1)) >> 2)
+            hi_w = min(15, (o + 31) >> 2)
+            word = fetT[lo_w]
+            for t in range(lo_w + 1, hi_w + 1):
+                word = jnp.where(wi == t, fetT[t], word)
+            sym = ((word >> sh) & jnp.uint32(0xFF)).astype(jnp.int32)
+            abs_i = base_abs + o
+            win_rows.append(
+                jnp.where((abs_i >= lo) & (abs_i >= 0) & (abs_i < limit), sym, -1)
+            )
+    else:
+        for o in range(WLEN):
+            idx = base_abs + o
+            sym = ids_pad[jnp.clip(idx, 0, npad - 1)].astype(jnp.int32)
+            win_rows.append(
+                jnp.where((idx >= lo) & (idx >= 0) & (idx < limit), sym, -1)
+            )
+        win_rows = list(jax.lax.optimization_barrier(tuple(win_rows)))
+
+    # Similarity band (same select-chain / gather split as _banded_dp).
+    sim2d = sim_flat.reshape(C, C)
+    if C <= 64:
+        sp_tab = sim2d[path_cls2d].reshape(F, Lmax * C)
+        spg_T = jax.lax.optimization_barrier(sp_tab[f].T)
+        sb_rows = []
+        for l in range(Lmax):
+            for b in range(B):
+                hc = win_rows[l + 1 + b]
+                acc = jnp.zeros((M,), jnp.float32)
+                for c in range(C):
+                    acc = jnp.where(hc == c, spg_T[l * C + c], acc)
+                sb_rows.append(acc)
+    else:
+        pcg = path_cls2d[f]
+        sb_rows = []
+        for l in range(Lmax):
+            pc_l = pcg[:, l]
+            for b in range(B):
+                hc = win_rows[l + 1 + b]
+                key = pc_l * C + jnp.maximum(hc, 0)
+                sb_rows.append(sim_flat[key])
+
+    def grid_init():
+        return [
+            [jnp.full((M,), INF, jnp.float32) for _ in range(NCH)]
+            for _ in range(B)
+        ]
+
+    zero_or_inf = jnp.where(alive_c, jnp.float32(0.0), INF)
+    pen0 = grid_init()
+    pen0[E][0] = zero_or_inf        # channel 0 = zero vector (vecs sorted)
+    pen_m1 = grid_init()
+    pen_e0 = grid_init()
+    pen_e0[E][0] = zero_or_inf
+
+    def merge(bp, op, ok):
+        op = jnp.where(ok, op, INF)
+        return jnp.where(op < bp, op, bp)
+
+    VSUM = tuple(sum(v) for v in VECS)
+
+    def step_body(carry, i, pc, pc_prev, ceil_i, caps_im1, caps_i, winrow, simrow):
+        prev2_pen, prev_pen, preve_pen, emit_pen = carry
+        row_live = alive_c & (i <= dpth)
+        # caps_im1 = 5 cap rows of the SOURCE row i-1; caps_i = of row i.
+        ce_1, ci_1, cd_1, cs_1, cw_1 = caps_im1
+        ce_0, ci_0, cd_0, cs_0, cw_0 = caps_i
+
+        cons_pen = grid_init()
+        new_pen = grid_init()
+        hcs = []
+        for b in range(B):
+            j = i + (b - E)
+            hc = winrow[b + 1]
+            hcs.append(hc)
+            hc_jm1 = winrow[b]
+            sim = simrow[b]
+            spen = jnp.float32(p_sub * (np.float32(1.0) - sim))
+            j_ok = j >= 1
+            for ch in range(NCH):
+                p_pen = prev_pen[b][ch]
+                bp = jnp.where(
+                    jnp.isfinite(p_pen) & j_ok & (hc == pc), p_pen, INF
+                )
+                src = SUB_SRC[ch]
+                if src >= 0:
+                    # substitution ahead-check vs SOURCE row caps
+                    # (src/search.rs:134-146): edits < cap_e, subs < cap_s.
+                    q_pen = prev_pen[b][src]
+                    vs = VECS[src]
+                    ok_s = (
+                        jnp.isfinite(q_pen) & j_ok & (hc >= 0) & (hc != pc)
+                        & ~(sim < floor)
+                        & ~(spen > (max_pen - q_pen))
+                        & (np.float32(VSUM[src]) < ce_1)
+                        & (np.float32(vs[2]) < cs_1)
+                    )
+                    bp = merge(bp, q_pen + spen, ok_s)
+                src = SWAP_SRC[ch]
+                if src >= 0:
+                    # swap: caps of the TARGET node (row i) — oracle line
+                    # _within_ahead(_node_limits(node2), ..., swaps).
+                    s_pen = prev2_pen[b][src]
+                    vs = VECS[src]
+                    ok_sw = (
+                        jnp.isfinite(s_pen) & (i >= 2) & (j >= 2)
+                        & ~(p_swap > (max_pen - s_pen))
+                        & (hc >= 0) & (hc_jm1 >= 0)
+                        & (hc == pc_prev) & (hc_jm1 == pc)
+                        & (np.float32(VSUM[src]) < ce_0)
+                        & (np.float32(vs[3]) < cw_0)
+                    )
+                    bp = merge(bp, s_pen + p_swap, ok_sw)
+                cons_pen[b][ch] = bp
+                src = DEL_SRC[ch]
+                if src >= 0 and b + 1 < B:
+                    d_pen = prev_pen[b + 1][src]
+                    vs = VECS[src]
+                    ok_del = (
+                        jnp.isfinite(d_pen) & ~(p_del > (max_pen - d_pen))
+                        & (np.float32(VSUM[src]) < ce_1)
+                        & (np.float32(vs[1]) < cd_1)
+                    )
+                    bp = merge(bp, d_pen + p_del, ok_del)
+                new_pen[b][ch] = bp
+
+        for b in range(1, B):
+            j = i + (b - E)
+            hc = hcs[b]
+            for ch in range(NCH):
+                src = INS_SRC[ch]
+                if src < 0:
+                    continue
+                ip = new_pen[b - 1][src]
+                vs = VECS[src]
+                ok_ins = (
+                    jnp.isfinite(ip)
+                    & ~(p_ins > (max_pen - ip))
+                    & (hc >= 0)
+                    & (j >= 2)
+                    & (np.float32(VSUM[src]) < ce_0)
+                    & (np.float32(vs[0]) < ci_0)
+                )
+                new_pen[b][ch] = merge(new_pen[b][ch], ip + p_ins, ok_ins)
+
+        newe_pen = grid_init()
+        for b in range(B):
+            for ch in range(NCH):
+                dead = ~row_live | (new_pen[b][ch] > ceil_i)
+                new_pen[b][ch] = jnp.where(dead, INF, new_pen[b][ch])
+
+                ep = cons_pen[b][ch]
+                src = DEL_SRC[ch]
+                if src >= 0 and b + 1 < B:
+                    t_pen = preve_pen[b + 1][src]
+                    vs = VECS[src]
+                    ok_t = (
+                        jnp.isfinite(t_pen) & ~(p_del > (max_pen - t_pen))
+                        & (np.float32(VSUM[src]) < ce_1)
+                        & (np.float32(vs[1]) < cd_1)
+                    )
+                    ep = merge(ep, t_pen + p_del, ok_t)
+                edead = ~row_live | (ep > ceil_i)
+                newe_pen[b][ch] = jnp.where(edead, INF, ep)
+
+        emit_here = row_live & (i == dpth)
+        for b in range(B):
+            for ch in range(NCH):
+                emit_pen[b][ch] = jnp.where(
+                    emit_here, newe_pen[b][ch], emit_pen[b][ch]
+                )
+        return (prev_pen, new_pen, newe_pen, emit_pen)
+
+    epen0 = grid_init()
+    carry = (pen_m1, pen0, pen_e0, epen0)
+    for i in range(1, Lmax + 1):
+        winrow = [win_rows[i - 1 + t] for t in range(B + 1)]
+        simrow = [sb_rows[(i - 1) * B + b] for b in range(B)]
+        caps_im1 = tuple(cap_row(q, i - 1) for q in range(5))
+        caps_i = tuple(cap_row(q, i) for q in range(5))
+        carry = step_body(
+            carry, i, pcls_T[i - 1], pcls_T[max(i - 2, 0)],
+            ceil_T[i - 1], caps_im1, caps_i, winrow, simrow,
+        )
+    emit_pen = carry[3]
+    pen_flat = jnp.stack([emit_pen[b][ch] for b in range(B) for ch in range(NCH)])
+    return pen_flat
+
+
+def _emit_rows_typed(
+    pen_flat, cand_field, cand_start,
+    depth_arr, node_arr, out_list, pat_len, pat_weight, limcls_arr,
+    limit, thr, E, MO, CAND, KG,
+    TYPED_EMIT,
+):
+    """Typed-channel emission: fold channels to the best ADMISSIBLE one per
+    (band, limits-class), then per output slot select by the pattern's
+    limits-class (reference emission-time check src/search.rs:151-169)."""
+    VECS, CNTS, ADM = TYPED_EMIT
+    NCH = len(VECS)
+    B = 2 * E + 1
+    INF = jnp.float32(np.inf)
+    alive = cand_field >= 0
+    fsafe = jnp.maximum(cand_field, 0)
+    d = depth_arr[fsafe]
+    node = node_arr[fsafe]
+    pats = out_list[node]                          # [CAND, MO]
+    slack = np.float32(1e-4) + np.float32(1e-4) * jnp.abs(thr)
+    NLC = len(ADM)
+
+    ok_rows = []
+    pen_lc_rows = []                               # [B*NLC] of [M]
+    cnt_lc_rows = []
+    patcls = limcls_arr[jnp.maximum(pats, 0)]      # [CAND, MO]
+    for b in range(B):
+        ends_b = cand_start + d + (b - E)
+        span_ok = alive & (ends_b <= limit) & (ends_b >= cand_start)
+        for lc in range(NLC):
+            pen_b = jnp.full(pen_flat.shape[1:], INF, jnp.float32)
+            cnt_b = jnp.zeros(pen_flat.shape[1:], jnp.int32)
+            for ch in range(NCH):
+                if not ADM[lc][ch]:
+                    continue
+                cand_p = pen_flat[b * NCH + ch]
+                take = cand_p < pen_b
+                pen_b = jnp.where(take, cand_p, pen_b)
+                cnt_b = jnp.where(take, np.int32(CNTS[ch]), cnt_b)
+            pen_lc_rows.append(pen_b)
+            cnt_lc_rows.append(cnt_b)
+        for o in range(MO):
+            p_o = pats[:, o]
+            lc_o = patcls[:, o]
+            pen_sel = pen_lc_rows[b * NLC]
+            for lc in range(1, NLC):
+                pen_sel = jnp.where(lc_o == lc, pen_lc_rows[b * NLC + lc], pen_sel)
+            fin = jnp.isfinite(pen_sel)
+            pen_s = jnp.where(fin, pen_sel, 0.0)
+            pl = pat_len[jnp.maximum(p_o, 0)]
+            sim = ((pl - pen_s) / pl) * pat_weight[jnp.maximum(p_o, 0)]
+            ok_rows.append(span_ok & fin & (p_o >= 0) & (sim >= thr - slack))
+    e_ok = jnp.stack(ok_rows, axis=0)              # [B*MO, M]
+    pen_lc = jnp.stack(pen_lc_rows, axis=0)        # [B*NLC, M]
+    cnt_lc = jnp.stack(cnt_lc_rows, axis=0)
+
+    total, gidx = compact_indices(e_ok.reshape(-1), KG)
+    gsafe = jnp.maximum(gidx, 0)
+    m = gsafe % CAND
+    chan = gsafe // CAND
+    o = chan % MO
+    b = chan // MO
+    ok = gidx >= 0
+    sd_tab = jnp.stack([cand_start, d], axis=1)
+    sd = sd_tab[m]
+    pat_row = pats[m]                              # [KG, MO]
+    lc_row = patcls[m]
+    pat_sel = pat_row[:, 0]
+    lc_sel = lc_row[:, 0]
+    for oo in range(1, MO):
+        pat_sel = jnp.where(o == oo, pat_row[:, oo], pat_sel)
+        lc_sel = jnp.where(o == oo, lc_row[:, oo], lc_sel)
+    pc_tab = jnp.stack(
+        [jax.lax.bitcast_convert_type(pen_lc, jnp.int32), cnt_lc], axis=2
+    ).reshape(-1, 2)                               # row (b*NLC + lc)*CAND + m
+    pc = pc_tab[(b * NLC + lc_sel) * CAND + m]
+    me = sd[:, 1] + (b - E)
+    rows = jnp.stack(
+        [
+            jnp.where(ok, sd[:, 0], -1),
+            jnp.where(ok, pc[:, 0], 0),
+            jnp.where(ok, (me << 24) | pat_sel, 0),
+            jnp.where(ok, pc[:, 1], 0),
+        ],
+        axis=1,
+    )
+    return total, rows
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
         "KH", "CAND", "KG", "E", "Lmax", "C", "MO",
-        "BITS", "P2F", "DEPTHS", "DEADEND",
+        "BITS", "P2F", "DEPTHS", "DEADEND", "TYPED",
     ),
 )
 def _dp_pipeline_jit(
@@ -566,6 +1058,7 @@ def _dp_pipeline_jit(
     out_list, pat_len, pat_weight,
     ids_dense, ids_dense_w32, limit,
     sim_flat, node_ceil, sb_edge_flat, out_count_arr,
+    node_caps_flat, limcls_arr,
     max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
     A, W, NL, TB, grid, chunkpf, halo, k,
     KH, CAND, KG, E, Lmax, C, MO,
@@ -573,6 +1066,7 @@ def _dp_pipeline_jit(
     P2F,       # tuple of field-index tuples per pattern
     DEPTHS,    # tuple of field depths
     DEADEND=False,
+    TYPED=None,
 ):
     """Whole DP-verified fuzzy search as one dispatch; single int32 result
     buffer with the same layout as ops/fuzzy._fuzzy1_pipeline_jit:
@@ -591,23 +1085,41 @@ def _dp_pipeline_jit(
         pos, words, jnp.int32(0), limit, limit, E, CAND, BITS, P2F, DEPTHS
     )
 
-    pen_flat, cnt_flat = _banded_dp(
-        cand_field, cand_start,
-        path_cls_flat, path_node_flat, depth_arr,
-        ids_dense, limit, sim_flat, node_ceil,
-        max_pen, p_sub, p_ins, p_del, p_swap, floor,
-        E, Lmax, C,
-        ids_w32=ids_dense_w32,
-        deadend=DEADEND,
-        sb_edge_flat=sb_edge_flat,
-        out_count_arr=out_count_arr,
-    )                                             # [B*NE, M] each
+    if TYPED is None:
+        pen_flat, cnt_flat = _banded_dp(
+            cand_field, cand_start,
+            path_cls_flat, path_node_flat, depth_arr,
+            ids_dense, limit, sim_flat, node_ceil,
+            max_pen, p_sub, p_ins, p_del, p_swap, floor,
+            E, Lmax, C,
+            ids_w32=ids_dense_w32,
+            deadend=DEADEND,
+            sb_edge_flat=sb_edge_flat,
+            out_count_arr=out_count_arr,
+        )                                         # [B*NE, M] each
 
-    total, rows = _emit_rows(
-        pen_flat, cnt_flat, cand_field, cand_start,
-        depth_arr, node_arr, out_list, pat_len, pat_weight,
-        limit, thr, E, MO, CAND, KG,
-    )
+        total, rows = _emit_rows(
+            pen_flat, cnt_flat, cand_field, cand_start,
+            depth_arr, node_arr, out_list, pat_len, pat_weight,
+            limit, thr, E, MO, CAND, KG,
+        )
+    else:
+        VECS, SUBS, INSS, DELS, SWAPS, ROOTC, CNTS, ADM = TYPED
+        pen_flat = _banded_dp_typed(
+            cand_field, cand_start,
+            path_cls_flat, path_node_flat, depth_arr, node_caps_flat,
+            ids_dense, limit, sim_flat, node_ceil,
+            max_pen, p_sub, p_ins, p_del, p_swap, floor,
+            E, Lmax, C,
+            TYPED=(VECS, SUBS, INSS, DELS, SWAPS, ROOTC),
+            ids_w32=ids_dense_w32,
+        )
+        total, rows = _emit_rows_typed(
+            pen_flat, cand_field, cand_start,
+            depth_arr, node_arr, out_list, pat_len, pat_weight, limcls_arr,
+            limit, thr, E, MO, CAND, KG,
+            TYPED_EMIT=(VECS, CNTS, ADM),
+        )
     header = (
         jnp.zeros((1, 4), jnp.int32)
         .at[0, 0].set(count_h)
@@ -757,10 +1269,13 @@ def _emit_rows(
     return total, rows
 
 
-def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[List]:
-    """DP-verified fuzzy search (fast-path configs, packed prefilter
-    eligible); None when not applicable — the caller falls back to the beam
-    kernels. Oracle-identical matches."""
+def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
+                    typed: Optional["TypedSpec"] = None) -> Optional[List]:
+    """DP-verified fuzzy search (packed-prefilter eligible); None when not
+    applicable — the caller falls back (beam kernels for FAST configs, the
+    oracle for typed ones). Oracle-identical matches. ``typed`` switches the
+    DP to type-vector channels for per-type / per-pattern limit configs
+    (see :class:`TypedSpec`)."""
     from ..structs import FuzzyMatch
     from ..utils import device_corpus
     from .packed_bitap import (
@@ -793,7 +1308,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
 
     dense = engine.dense
     pens = engine.penalties
-    E = engine.max_edits_fast
+    E = engine.max_edits_fast if typed is None else typed.E
     ceil = engine.prune_len_arr - np.float32(engine.prune_len_over_weight_arr * thr)
     max_pen = np.float32(ceil[0])
     if np.float32(0.0) > max_pen:
@@ -868,6 +1383,24 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
      sbe_d, ocnt_d) = dtabs
     node_ceil = jax.device_put(ceil)
 
+    if typed is None:
+        TYPED = None
+        ncaps_d = jnp.zeros((0,), jnp.int32)
+        limcls_d = jnp.zeros((0,), jnp.int32)
+    else:
+        ttabs = getattr(engine, "_dp_typed_tables", None)
+        if ttabs is None:
+            ttabs = (
+                jax.device_put(np.ascontiguousarray(typed.node_caps.reshape(-1))),
+                jax.device_put(typed.limcls),
+            )
+            engine._dp_typed_tables = ttabs
+        ncaps_d, limcls_d = ttabs
+        TYPED = (
+            typed.vecs, typed.sub_src, typed.ins_src, typed.del_src,
+            typed.swap_src, typed.root_caps, typed.cnts, typed.adm,
+        )
+
     nb = ids_pf.size
     caps = _cap_cache(engine)
     kh_key = ("dp-KH", nb)
@@ -888,6 +1421,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
                 olist_d, plen_d, pw_d,
                 ids_dense, ids_dense_w32, np.int32(n),
                 sim_d, node_ceil, sbe_d, ocnt_d,
+                ncaps_d, limcls_d,
                 max_pen, pens.substitution, pens.insertion, pens.deletion,
                 pens.swap, engine.min_symbol_similarity, thr,
                 A=pk.A, W=pk.W, NL=NL, TB=TB, grid=grid, chunkpf=chunkpf,
@@ -895,7 +1429,8 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
                 KH=KH, CAND=CAND, KG=KG, E=E, Lmax=vf.max_depth,
                 C=dense.num_classes, MO=dense.max_out,
                 BITS=BITS, P2F=P2F, DEPTHS=DEPTHS,
-                DEADEND=dense.has_multibyte_edges,
+                DEADEND=dense.has_multibyte_edges and typed is None,
+                TYPED=TYPED,
             )
         )
         count_h, cand_count, total = int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
@@ -928,7 +1463,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
         thr,
     )
     engine.last_stats = {
-        "backend": "device-fuzzy-dp",
+        "backend": "device-fuzzy-dp" if typed is None else "device-fuzzy-dp-typed",
         "hits": count_h,
         "candidates": cand_count,
         "positions": int(n),
@@ -936,3 +1471,23 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int) -> Optional[
         "matches": len(results),
     }
     return results
+
+
+def fuzzy_search_typed_device(engine, haystack: str, threshold) -> List:
+    """Device search for per-type / per-pattern limit configurations (the
+    reference serves these from its monomorphized general path,
+    src/search.rs:204-393 + 87-169); falls back to the host oracle when the
+    packed model declines at this threshold (k past MAX_USEFUL_K)."""
+    from .. import oracle
+    from ..utils.graphemes import HaystackView
+
+    spec = typed_spec_of(engine)
+    assert spec is not None, "caller must gate on typed_spec_of"
+    view = HaystackView(haystack, engine.case_insensitive)
+    n = len(view)
+    if n == 0:
+        return []
+    res = fuzzy_search_dp(engine, haystack, threshold, view, n, typed=spec)
+    if res is None:
+        return oracle.search_raw(engine, haystack, threshold)
+    return res

@@ -1,0 +1,165 @@
+"""Device parity for per-type and per-pattern limit configurations.
+
+The reference serves these from its monomorphized general path
+(src/search.rs:204-393 with the within-limits ahead/emission checks,
+src/search.rs:87-169); the device analog is the type-vector-channel DP
+(ops/verify_dp.TypedSpec + _banded_dp_typed). Every test is a differential
+against the host oracle.
+"""
+
+import numpy as np
+
+from fuzzy_aho_corasick_tpu import (
+    FuzzyAhoCorasickBuilder,
+    FuzzyLimits,
+    Pattern,
+)
+
+
+def key(m):
+    return (
+        m.start, m.end, m.pattern_index, float(np.float32(m.similarity)),
+        m.insertions, m.deletions, m.substitutions, m.swaps,
+    )
+
+
+def span_key(m):
+    return (m.start, m.end, m.pattern_index, float(np.float32(m.similarity)))
+
+
+def compare(engine, hay, thr, k=span_key):
+    engine.backend = "oracle"
+    a = sorted(map(k, engine.search_raw(hay, thr)))
+    engine.backend = "device"
+    dev = engine._device_engine()
+    assert dev._typed_ok, "config should take the typed device path"
+    b = sorted(map(k, engine.search_raw(hay, thr)))
+    engine.backend = "auto"
+    assert a == b, f"typed device/oracle mismatch thr={thr}\n oracle={a[:8]}\n device={b[:8]}"
+    return a
+
+
+def _corpus(variants, reps=400):
+    parts = []
+    for i in range(reps):
+        parts.append("lorem ipsum dolor " * (1 + i % 3))
+        parts.append(variants[i % len(variants)])
+        parts.append(" ")
+    return "".join(parts)
+
+
+def test_substitutions_only():
+    """The README's own example config: FuzzyLimits.substitutions(1)."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().substitutions(1))
+        .case_insensitive(True)
+        .build(["needle", "pattern"])
+    )
+    hay = _corpus(["needle", "needlz", "nedle", "neeedle", "enedle", "pattern", "pXttern"])
+    got = compare(engine, hay, 0.7)
+    # substitution variants match; deletion/insertion/swap variants must not
+    texts = {hay[s:e] for s, e, *_ in got}
+    assert "needlz" in texts and "pXttern" in texts
+    assert "nedle" not in texts and "neeedle" not in texts
+    assert engine.last_stats["backend"] == "device-fuzzy-dp-typed"
+
+
+def test_total_with_swaps_forbidden():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2).swaps(0))
+        .case_insensitive(True)
+        .build(["needle"])
+    )
+    hay = _corpus(["needle", "enedle", "nedl", "needlz", "neXdlz"])
+    got = compare(engine, hay, 0.5)
+    texts = {hay[s:e] for s, e, *_ in got}
+    assert "nedl" in texts  # two deletions within total 2
+    # "enedle" as a swap is forbidden; any non-swap repair costs 2+ edits
+
+
+def test_per_type_caps_no_total():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().insertions(1).deletions(1))
+        .case_insensitive(True)
+        .build(["needle", "haystack"])
+    )
+    hay = _corpus(["needle", "neeedle", "nedle", "needlz", "nedlee", "haystack", "hystack"])
+    compare(engine, hay, 0.55)
+
+
+def test_per_pattern_limits_mixed():
+    """Per-pattern limits override the global (reference structs.rs:619-657;
+    the ('pat', weight, max_edits) tuple form)."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build([
+            Pattern.of(("strict", 1.0, 0)),     # per-pattern: exact only
+            "needle",                            # global: 1 edit
+        ])
+    )
+    hay = _corpus(["strict", "strlct", "needle", "nedle"])
+    got = compare(engine, hay, 0.55)
+    texts = {hay[s:e] for s, e, *_ in got}
+    assert "strict" in texts and "nedle" in texts
+    assert "strlct" not in texts  # strict's own cap forbids the edit
+
+
+def test_typed_edit_breakdown_counts():
+    """Typed channels carry exact per-type counts (the oracle's visited-key
+    granularity, src/search.rs:31-50)."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().insertions(2).substitutions(1))
+        .case_insensitive(True)
+        .build(["needle"])
+    )
+    hay = _corpus(["needle", "neeedle", "needlz", "neeedlz"])
+    compare(engine, hay, 0.5, k=key)
+
+
+def test_typed_threshold_sweep():
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2).insertions(1))
+        .case_insensitive(True)
+        .build(["needle", "pattern", "haystack"])
+    )
+    hay = _corpus(["nedle", "neeedle", "pattren", "haystck", "needle"])
+    for thr in (0.45, 0.6, 0.75, 0.9):
+        compare(engine, hay, thr)
+
+
+def test_typed_differential_fuzz():
+    """Randomized configs x haystacks vs the oracle (the reference's
+    differential-fuzz pattern, prefilter.rs:437-562)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    alphabet = "abcdefg"
+    for trial in range(6):
+        words = list({
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 7)))
+            for _ in range(4)
+        })
+        cfg = rng.choice([
+            FuzzyLimits.new().substitutions(rng.randint(1, 2)),
+            FuzzyLimits.new().insertions(1).deletions(1),
+            FuzzyLimits.new().edits(2).swaps(0),
+            FuzzyLimits.new().edits(2).deletions(1),
+            FuzzyLimits.new().insertions(1).swaps(1),
+        ])
+        engine = (
+            FuzzyAhoCorasickBuilder.new()
+            .fuzzy(cfg)
+            .build(words)
+        )
+        hay = "".join(
+            rng.choice(alphabet + "   ") for _ in range(4000)
+        )
+        thr = rng.choice([0.4, 0.6, 0.8])
+        compare(engine, hay, thr)
