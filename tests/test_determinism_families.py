@@ -1,0 +1,183 @@
+"""Remaining reference test families, mapped test-for-test.
+
+| this file                              | reference src/tests.rs          |
+|----------------------------------------|---------------------------------|
+| test_siic_simic                        | tests.rs:760-770                |
+| test_aminulah_aminullah                | tests.rs:773-783                |
+| test_jaar_jafar                        | tests.rs:786-796                |
+| test_deterministic_search_beam         | tests.rs:1456-1497 (auto-beam)  |
+| test_deterministic_search_unicode      | tests.rs:1502-1546              |
+| test_deterministic_search_prefilter    | tests.rs:1586-1637              |
+| test_deterministic_stream              | tests.rs:1640-1703              |
+
+Determinism is the property the reference guarantees via its fixed-seed
+FxHasher + total-order tiebreakers (structs.rs:96-158, matches.rs:32-36);
+this build guarantees it via insertion-order dicts + lexsort tiebreakers
+(matches.py) — repeated runs must be bit-identical either way.
+"""
+
+import io
+
+from fuzzy_aho_corasick_tpu import (
+    FuzzyAhoCorasickBuilder,
+    FuzzyLimits,
+    Pattern,
+    SearchOptions,
+)
+
+
+def _tuples(ms):
+    return [
+        (m.start, m.end, m.pattern_index, float(m.similarity),
+         m.insertions, m.deletions, m.substitutions, m.swaps)
+        for m in ms
+    ]
+
+
+def test_siic_simic():
+    """Missing middle char (reference tests.rs:760-770 — the reference only
+    prints; we additionally pin the non-empty deletion match)."""
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(
+        [Pattern.of(("SIMIC", 1.0, 3))]
+    )
+    result = engine.search("SIIC", SearchOptions.new().with_threshold(0.7).sorted())
+    assert any(m.text == "SIIC" for m in result)
+
+
+def test_aminulah_aminullah():
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(
+        [Pattern.of(("AMINULLAH", 1.0, 3))]
+    )
+    result = engine.search(
+        "Aminulah", SearchOptions.new().with_threshold(0.7).sorted()
+    )
+    assert any(m.pattern.as_str() == "AMINULLAH" for m in result)
+
+
+def test_jaar_jafar():
+    engine = FuzzyAhoCorasickBuilder.new().case_insensitive(True).build(
+        [Pattern.of(("JAFAR", 1.0, 3))]
+    )
+    result = engine.search("Jaar", SearchOptions.new().with_threshold(0.7).sorted())
+    assert any(m.pattern.as_str() == "JAFAR" for m in result)
+
+
+def test_deterministic_search_beam():
+    """Auto-beam path repeats bit-identically (tests.rs:1456-1497)."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(4))
+        .auto_beam(100, 500)
+        .build([
+            "hello", "world", "help", "held", "shell", "yellow",
+            "algorithms", "automaton", "abbreviations",
+        ])
+    )
+    haystacks = [
+        "hello world",
+        "helo world",
+        "She sells sea shells by the sea shore",
+        "Why did the yellow bird help the shell?",
+        "The quick brown fox jumps over the lazy dog",
+        "algorithmic automata and abbreviated forms",
+    ]
+    for haystack in haystacks:
+        for threshold in (0.5, 0.7):
+            first = _tuples(engine.search(
+                haystack, SearchOptions.new().with_threshold(threshold)))
+            for _ in range(5):
+                nxt = _tuples(engine.search(
+                    haystack, SearchOptions.new().with_threshold(threshold)))
+                assert first == nxt, (haystack, threshold)
+
+
+def test_deterministic_search_unicode():
+    """Unicode grapheme path repeats bit-identically (tests.rs:1502-1546)."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .case_insensitive(True)
+        .build(["café", "résumé", "naïve", "piñata", "jalapeño"])
+    )
+    haystacks = [
+        "J'aime le café",
+        "Elle a un joli résumé",
+        "Très naïve attitude",
+        "La piñata est colorée",
+        "Jalapeño poppers",
+        "Café au lait avec du sucre",
+        "Un café noir et un résumé clair",
+        "No matches here at all",
+        "Cafe without accent",
+        "resume without accent",
+    ]
+    for haystack in haystacks:
+        for threshold in (0.5, 0.7, 0.9):
+            first = _tuples(engine.search(
+                haystack, SearchOptions.new().with_threshold(threshold)))
+            for _ in range(5):
+                nxt = _tuples(engine.search(
+                    haystack, SearchOptions.new().with_threshold(threshold)))
+                assert first == nxt, (haystack, threshold)
+
+
+def test_deterministic_search_prefilter():
+    """Prefiltered path repeats bit-identically, unsorted AND sorted
+    (tests.rs:1586-1637)."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["hello", "world", "help", "shell", "yellow"])
+    )
+    haystacks = [
+        "hello world",
+        "helo world",
+        "She sells sea shells by the sea shore",
+        "Why did the yellow bird help the shell?",
+        "A quick brown fox jumps over the lazy dog",
+    ]
+    prefiltered = engine.with_prefilter()
+    for haystack in haystacks:
+        for threshold in (0.5, 0.7, 0.9):
+            for opts in (
+                SearchOptions.new().with_threshold(threshold),
+                SearchOptions.new().with_threshold(threshold).sorted(),
+            ):
+                first = _tuples(prefiltered.search(haystack, opts))
+                for _ in range(5):
+                    assert _tuples(prefiltered.search(haystack, opts)) == first
+
+
+def test_deterministic_stream():
+    """search_stream / stream_matches / replace_stream repeat bit-identically
+    (tests.rs:1640-1703)."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["hello", "world"])
+    )
+    haystack = b"hello world hello world"
+
+    def stream_run():
+        got = []
+        engine.search_stream(haystack, 0.7, lambda m: got.append(f"{m.start}:{m.end}"))
+        return got
+
+    first = stream_run()
+    for _ in range(5):
+        assert stream_run() == first
+
+    first_it = [f"{m.start}:{m.end}" for m in engine.stream_matches(haystack, 0.7)]
+    for _ in range(5):
+        assert [f"{m.start}:{m.end}" for m in engine.stream_matches(haystack, 0.7)] == first_it
+
+    def replace_run():
+        out = io.BytesIO()
+        n = engine.replace_stream(haystack, out, 0.7, lambda m: m.text.upper())
+        return n, out.getvalue()
+
+    first_rep = replace_run()
+    for _ in range(5):
+        assert replace_run() == first_rep
