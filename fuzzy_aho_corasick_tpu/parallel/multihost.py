@@ -1,0 +1,159 @@
+"""Multi-host execution skeleton: jax.distributed + host-sharded corpus IO.
+
+The reference's concurrency ceiling is one process (std::thread pool over
+mpsc channels, src/stream.rs:378-429). The TPU-native scale-out story layers
+two levels (SURVEY §5 "distributed communication backend"):
+
+* **Within a host slice**: the corpus shards over the chips of a mesh with
+  ppermute halos and psum reductions (parallel/shard_search) — collectives
+  ride ICI.
+* **Across hosts**: each process owns a byte range of the input (this
+  module's :class:`HostShardPlan` — the WindowReader ownership rule lifted
+  to host granularity), runs the sharded search on its local chips, and
+  match tuples concatenate by construction (absolute offsets; the
+  ``start < commit`` rule makes per-host emission exactly-once, so the only
+  cross-host traffic is the final result gather over DCN).
+
+On a real pod slice, call :func:`initialize` first (one process per host);
+``jax.devices()`` then spans every host and a mesh built from it routes
+neighbor ``ppermute`` across the DCN boundary automatically. This repo's
+test environment has a single process, so the unit tests exercise the plan
++ per-host search loop with N logical hosts on the virtual CPU mesh — the
+same code path a real multi-process launch takes per process.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Initialize the JAX multi-process runtime (no-op when single-process).
+
+    Returns this process's id. Mirrors ``jax.distributed.initialize`` —
+    on TPU pods the arguments are auto-detected from the environment.
+    """
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
+@dataclass
+class HostShard:
+    """One host's byte assignment: it reads [read_start, read_end) and owns
+    matches whose start byte is in [own_start, own_end)."""
+
+    host: int
+    read_start: int
+    read_end: int
+    own_start: int
+    own_end: int
+
+
+class HostShardPlan:
+    """Partition ``total_bytes`` across ``n_hosts`` with a right halo.
+
+    The halo is ``overlap_bytes`` (callers pass
+    ``engine.stream_overlap() * 4`` — 4 bytes/grapheme upper bound for the
+    halo purpose; UTF-8 boundaries are then re-aligned against the actual
+    data by :func:`align_utf8`). Ownership is exactly the stream/window rule
+    (reference src/stream.rs:262-297): host ``h`` owns starts in its own
+    range, so no match is emitted twice and none is missed (a match
+    starting in ``h`` lies entirely inside ``h``'s read range because the
+    halo exceeds the longest possible match).
+    """
+
+    def __init__(self, total_bytes: int, n_hosts: int, overlap_bytes: int):
+        self.total = total_bytes
+        self.n = max(1, n_hosts)
+        self.overlap = overlap_bytes
+        self.span = -(-total_bytes // self.n)
+
+    def shard(self, h: int) -> HostShard:
+        own_start = min(h * self.span, self.total)
+        own_end = min(own_start + self.span, self.total)
+        read_end = min(own_end + self.overlap, self.total)
+        return HostShard(h, own_start, read_end, own_start, own_end)
+
+    def shards(self) -> List[HostShard]:
+        return [self.shard(h) for h in range(self.n)]
+
+
+def align_utf8(data: bytes, pos: int) -> int:
+    """Smallest offset >= pos that starts a UTF-8 code point."""
+    n = len(data)
+    while pos < n and (data[pos] & 0xC0) == 0x80:
+        pos += 1
+    return pos
+
+
+def search_host_shard(
+    engine, data: bytes, shard: HostShard, threshold: float, mesh=None
+):
+    """One host's work: sharded device search over its byte slice, owned
+    matches rebased to absolute offsets.
+
+    ``data`` is the host's read slice ``bytes[read_start:read_end]`` (e.g.
+    from a per-host file pread). Returns StreamMatch-like FuzzyMatch tuples
+    with absolute byte offsets.
+    """
+    from ..structs import FuzzyMatch
+    from .shard_search import sharded_exact_search, sharded_fuzzy_search
+
+    lo = align_utf8(data, 0)
+    body = data[lo:]
+    try:
+        text = body.decode("utf-8")
+    except UnicodeDecodeError as e:
+        # The halo's tail may cut a code point; a halo match never needs it.
+        text = body[: e.start].decode("utf-8")
+    base = shard.read_start + lo
+
+    matches = None
+    if engine.max_edits_fast >= 1:
+        matches = sharded_fuzzy_search(engine, text, threshold, mesh)
+    if matches is None and engine.max_edits_fast == 0:
+        matches = sharded_exact_search(engine, text, threshold, mesh)
+    if matches is None:
+        matches = engine.search_raw(text, threshold)
+
+    out: List[FuzzyMatch] = []
+    import dataclasses
+
+    for m in matches:
+        start = base + m.start
+        if shard.own_start <= start < shard.own_end:
+            out.append(dataclasses.replace(m, start=start, end=base + m.end))
+    return out
+
+
+def search_multihost(engine, corpus: bytes, threshold: float, n_hosts: int, mesh=None):
+    """Reference driver for the per-process flow, runnable single-process:
+    every logical host executes :func:`search_host_shard` on its slice and
+    the result lists concatenate (on a real pod each process computes its
+    own list and the caller all-gathers them over DCN, e.g. with
+    ``jax.experimental.multihost_utils.process_allgather``)."""
+    overlap = (engine.stream_overlap() + 1) * 4
+    plan = HostShardPlan(len(corpus), n_hosts, overlap)
+    out = []
+    for shard in plan.shards():
+        if shard.own_start >= shard.own_end:
+            continue
+        data = corpus[shard.read_start : shard.read_end]
+        out.extend(search_host_shard(engine, data, shard, threshold, mesh))
+    out.sort(key=lambda m: (m.start, m.end, m.pattern_index))
+    return out
