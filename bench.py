@@ -99,6 +99,63 @@ def main():
     detail["fuzzy_bps"] = round(nbytes / fuzzy_s)
     detail["fuzzy_matches"] = len(m2)
 
+    # --- secondary benches (reference benches/benchmark.rs:139-257:
+    # fuzzy_levels edits 2-3, search_many_patterns, replace) on a smaller
+    # corpus so the bench stays inside the driver window. Opt out with
+    # BENCH_EXTRAS=0.
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        sub = corpus[: 24 << 20]
+        sn = len(sub)
+
+        for edits in (2, 3):
+            eng = (
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(edits))
+                .case_insensitive(True)
+                .build(dictionary)
+            )
+            eng.backend = "device"
+            thr = 0.62 if edits == 2 else 0.5
+            eng.search_raw(sub, thr)  # warm
+            t0 = time.time()
+            ms = eng.search_raw(sub, thr)
+            dt = time.time() - t0
+            detail[f"fuzzy{edits}_bps"] = round(sn / dt)
+            detail[f"fuzzy{edits}_matches"] = len(ms)
+
+        # 1k-pattern dictionary scan (seed-filter / packed lane).
+        rng = np.random.default_rng(7)
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        many = sorted({
+            "".join(alphabet[i] for i in rng.integers(0, 26, size=int(m)))
+            for m in rng.integers(6, 12, size=1000)
+        })
+        meng = (
+            FuzzyAhoCorasickBuilder.new()
+            .fuzzy(FuzzyLimits.new().edits(1))
+            .case_insensitive(True)
+            .build(many)
+        )
+        meng.backend = "device"
+        meng.search_raw(sub, 0.82)  # warm
+        t0 = time.time()
+        ms = meng.search_raw(sub, 0.82)
+        dt = time.time() - t0
+        detail["many1k_bps"] = round(sn / dt)
+        detail["many1k_patterns"] = len(many)
+        detail["many1k_matches"] = len(ms)
+
+        # Parallel streaming replace throughput (reference replace_bench.rs).
+        import io
+
+        t0 = time.time()
+        out = io.BytesIO()
+        fengine.replace_stream_parallel(
+            sub.encode(), out, 16, 0.8, lambda m: "<x>"
+        )
+        dt = time.time() - t0
+        detail["replace_stream_parallel_bps"] = round(sn / dt)
+
     combined = 2 * nbytes / (exact_s + fuzzy_s)
     result = {
         "metric": "scan_bytes_per_s_per_chip_exact_plus_fuzzy1",

@@ -205,7 +205,7 @@ def exact_search_packed(engine, haystack: str, threshold: float, view) -> Option
         return None
     ends, fidx = got
 
-    hay_bytes = haystack.encode("utf-8")
+    hay_bytes = view.hay_bytes()
     is_ascii = view.ascii
     n = len(haystack) if is_ascii else len(view)
     dense = engine.dense
@@ -324,7 +324,7 @@ def exact_search_device(engine, haystack: str, threshold: float, view=None) -> L
             KG = 1 << (tot - 1).bit_length()
     packed = np.asarray(packed[:tot])
 
-    hay_bytes = haystack.encode("utf-8")
+    hay_bytes = view.hay_bytes()
     is_ascii = view.ascii
     out_start = dense.out_start
     out_patterns = dense.out_patterns

@@ -935,7 +935,7 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     node_ceil = jax.device_put(ceil)
     pens = engine.penalties
 
-    hay_bytes = haystack.encode("utf-8")
+    hay_bytes = view.hay_bytes()
     is_ascii = view.ascii
     patterns = engine._patterns
 

@@ -146,12 +146,15 @@ def test_device_eligibility_fallbacks():
     assert not mapped._device_engine().supports("caesar")
     assert len(mapped.search("cæsar", SearchOptions.new().with_threshold(0.9))) == 1
 
+    # Per-type caps now take the typed device path (ops/verify_dp.TypedSpec)
+    # rather than falling back to the oracle.
     per_type = (
         FuzzyAhoCorasickBuilder.new()
         .fuzzy(FuzzyLimits.new().substitutions(1))
         .build(["abc"])
     )
-    assert not per_type._device_engine().supports("abc")
+    assert per_type._device_engine()._typed_ok
+    assert per_type._device_engine().supports("abc")
 
     beamed = (
         FuzzyAhoCorasickBuilder.new()
