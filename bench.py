@@ -107,15 +107,36 @@ def main():
         sub = corpus[: 24 << 20]
         sn = len(sub)
 
+        # swaps(0) keeps the bitap budget k == edits (a swap costs 2 bitap
+        # errors, reference prefilter.rs:174-183 — with swaps allowed k
+        # doubles and the scan stops pruning on random text). These configs
+        # also exercise the typed-limits DP lane.
         for edits in (2, 3):
             eng = (
                 FuzzyAhoCorasickBuilder.new()
-                .fuzzy(FuzzyLimits.new().edits(edits))
+                .fuzzy(FuzzyLimits.new().edits(edits).swaps(0))
                 .case_insensitive(True)
                 .build(dictionary)
             )
             eng.backend = "device"
             thr = 0.62 if edits == 2 else 0.5
+            # Probe the DP lane on a 1 MiB slice first: if the packed scan
+            # is unselective at this budget the lane declines and the full
+            # run would fall back to the (hours-slow) oracle — skip instead.
+            from fuzzy_aho_corasick_tpu.ops.verify_dp import (
+                fuzzy_search_dp, typed_spec_of,
+            )
+            from fuzzy_aho_corasick_tpu.utils.graphemes import HaystackView
+
+            probe_text = sub[: 1 << 20]
+            pv = HaystackView(probe_text, True)
+            probe = fuzzy_search_dp(
+                eng, probe_text, thr, pv, len(pv), typed=typed_spec_of(eng)
+            )
+            if probe is None:
+                detail[f"fuzzy{edits}_bps"] = 0
+                detail[f"fuzzy{edits}_note"] = "dp lane declined (unselective)"
+                continue
             eng.search_raw(sub, thr)  # warm
             t0 = time.time()
             ms = eng.search_raw(sub, thr)

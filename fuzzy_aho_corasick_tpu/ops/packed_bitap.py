@@ -56,7 +56,11 @@ from .compact import compact_indices, dilate_any
 
 #: Lane count (independent chunks per pass) and VMEM block budget.
 NL_MAX = 8192
-VMEM_BLOCK_BYTES = 2 << 20
+#: Per-block VMEM budget for the in-kernel word-expansion scratch. At TB=8
+#: the scan paid ~8 us of per-grid-step overhead x 1700 steps (~13 ms per
+#: 100 MB — 30x the compute); 8 MB lands TB at ~40 rows while keeping the
+#: whole kernel (scratch + io blocks) under Mosaic's 16 MB scoped-vmem cap.
+VMEM_BLOCK_BYTES = 8 << 20
 #: Max one-hot alphabet (the one-hot plane matmul is linear in A).
 MAX_ALPHABET_PACKED = 128
 #: Max u64 limbs (kernel work is linear in W).
@@ -326,6 +330,8 @@ def _kernel_factory(
                 acc |= wacc
                 if emit_words:
                     words_refs[i][t, :] = wacc
+            # (int8 flags were tried to cut the write 4x; Mosaic's layout
+            # pass crashes on packed-int8 row stores on this toolchain.)
             flag_ref[t, :] = (acc != jnp.uint32(0)).astype(jnp.int32)
 
             for d in range(k + 1):
@@ -402,7 +408,7 @@ def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, em
 
 
 #: Hits per replay chunk (lane width of the replay kernel).
-REPLAY_NL = 2048
+REPLAY_NL = 8192
 
 
 def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH,

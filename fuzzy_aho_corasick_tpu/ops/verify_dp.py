@@ -1309,6 +1309,14 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     dense = engine.dense
     pens = engine.penalties
     E = engine.max_edits_fast if typed is None else typed.E
+    # Candidate-stage work budget: the expansion materializes
+    # (fields x bands) x KH slots. Loose budgets (k approaching the pattern
+    # length — e.g. total-edit configs where a swap costs 2 bitap errors,
+    # reference prefilter.rs:174-183) make the scan unselective on random
+    # text; past this budget the DP lane declines and the caller falls back
+    # rather than burning HBM on candidates the verify will reject.
+    n_combo = int((vf.pat2field >= 0).sum()) * (2 * E + 1)
+    MAX_EXPAND = 1 << 27
     ceil = engine.prune_len_arr - np.float32(engine.prune_len_over_weight_arr * thr)
     max_pen = np.float32(ceil[0])
     if np.float32(0.0) > max_pen:
@@ -1412,6 +1420,8 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     KH = caps.get(kh_key, _fine_cap(max(1 << 13, nb >> 10)))
     CAND = caps.get(ca_key, _fine_cap(max(1 << 14, nb >> 9)))
     KG = caps.get(kg_key, _fine_cap(max(1 << 15, nb >> 11)))
+    if KH * n_combo > MAX_EXPAND:
+        return None
 
     while True:
         buf = jax.device_get(
@@ -1437,6 +1447,8 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         grew = False
         if count_h > KH:
             KH = _fine_cap(count_h)
+            if KH * n_combo > MAX_EXPAND:
+                return None  # unselective scan: decline, caller falls back
             grew = True
         if cand_count > CAND:
             CAND = _fine_cap(cand_count)
