@@ -1049,7 +1049,7 @@ def _emit_rows_typed(
     static_argnames=(
         "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
         "KH", "CAND", "KG", "E", "Lmax", "C", "MO",
-        "BITS", "P2F", "DEPTHS", "DEADEND", "TYPED",
+        "BITS", "P2F", "DEPTHS", "DEADEND", "TYPED", "STAGE",
     ),
 )
 def _dp_pipeline_jit(
@@ -1067,23 +1067,43 @@ def _dp_pipeline_jit(
     DEPTHS,    # tuple of field depths
     DEADEND=False,
     TYPED=None,
+    STAGE=3,
 ):
     """Whole DP-verified fuzzy search as one dispatch; single int32 result
     buffer with the same layout as ops/fuzzy._fuzzy1_pipeline_jit:
 
     * row 0: ``[hit_count, cand_count, total_emissions, 0, 0, 0]``
     * row 1+j: ``[start, me, pattern, penalty_bits, edit_counts, 0]``
+
+    ``STAGE`` truncates the pipeline for profiling (0 = packed hits only,
+    1 = + candidate expansion, 2 = + banded DP, 3 = full); truncated stages
+    return a zero-padded buffer of the full shape.
     """
     from .packed_bitap import packed_hits
+
+    def _early(count_h, cand_count, checksum):
+        # checksum in the spare header slot keeps the truncated stages from
+        # being dead-code-eliminated without corrupting the cap-retry fields.
+        header = (
+            jnp.zeros((1, 4), jnp.int32)
+            .at[0, 0].set(count_h)
+            .at[0, 1].set(cand_count)
+            .at[0, 3].set(checksum)
+        )
+        return jnp.concatenate([header, jnp.zeros((KG, 4), jnp.int32)], axis=0)
 
     count_h, pos, words = packed_hits(
         ids_pf, word_tbl, pf_starts, pf_match, pf_init,
         A, W, NL, TB, grid, chunkpf, halo, k, KH,
         ids_w32=ids_pf_w32,
     )
+    if STAGE == 0:
+        return _early(count_h, jnp.int32(0), words.astype(jnp.int32).sum())
     cand_count, cand_field, cand_start = _expand_candidates(
         pos, words, jnp.int32(0), limit, limit, E, CAND, BITS, P2F, DEPTHS
     )
+    if STAGE == 1:
+        return _early(count_h, cand_count, cand_start.sum())
 
     if TYPED is None:
         pen_flat, cnt_flat = _banded_dp(
@@ -1097,6 +1117,12 @@ def _dp_pipeline_jit(
             sb_edge_flat=sb_edge_flat,
             out_count_arr=out_count_arr,
         )                                         # [B*NE, M] each
+        if STAGE == 2:
+            return _early(
+                count_h, cand_count,
+                jnp.isfinite(pen_flat).astype(jnp.int32).sum()
+                + cnt_flat.sum(),
+            )
 
         total, rows = _emit_rows(
             pen_flat, cnt_flat, cand_field, cand_start,
@@ -1423,9 +1449,13 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     if KH * n_combo > MAX_EXPAND:
         return None
 
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("FAC_TIME") == "1"
     while True:
-        buf = jax.device_get(
-            _dp_pipeline_jit(
+        _t0 = _time.perf_counter()
+        out_dev = _dp_pipeline_jit(
                 ids_pf, ids_pf_w32, tbl, sb, mb, ib,
                 dep_d, node_d, pcls_d, pnode_d,
                 olist_d, plen_d, pw_d,
@@ -1441,8 +1471,19 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
                 BITS=BITS, P2F=P2F, DEPTHS=DEPTHS,
                 DEADEND=dense.has_multibyte_edges and typed is None,
                 TYPED=TYPED,
-            )
+                STAGE=int(_os.environ.get("FAC_DP_STAGE", "3")),
         )
+        if _timing:
+            out_dev = jax.block_until_ready(out_dev)
+            _t1 = _time.perf_counter()
+        buf = jax.device_get(out_dev)
+        _t2 = _time.perf_counter()
+        if _timing:
+            print(
+                f"[FAC_TIME dp] dispatch={(_t1 - _t0) * 1e3:.1f}ms "
+                f"readback={(_t2 - _t1) * 1e3:.1f}ms "
+                f"buf={buf.nbytes >> 10}KiB KH={KH} CAND={CAND} KG={KG}"
+            )
         count_h, cand_count, total = int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
         grew = False
         if count_h > KH:
@@ -1465,6 +1506,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     rows = buf[1 : 1 + total]
     from .emit import decode_matches
 
+    _t3 = _time.perf_counter()
     results = decode_matches(
         engine, view, haystack, n,
         rows[:, 0],
@@ -1474,6 +1516,11 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         rows[:, 3],                                              # counts
         thr,
     )
+    if _timing:
+        print(
+            f"[FAC_TIME dp] decode={( _time.perf_counter() - _t3) * 1e3:.1f}ms "
+            f"emissions={total} matches={len(results)}"
+        )
     engine.last_stats = {
         "backend": "device-fuzzy-dp" if typed is None else "device-fuzzy-dp-typed",
         "hits": count_h,
