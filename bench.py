@@ -75,6 +75,7 @@ def main():
     engine.backend = "device"
     t0 = time.time()
     m1 = engine.search_raw(corpus, 0.5)  # includes compile
+    engine.search_raw(corpus, 0.5)  # capacity ratchet-down may recompile once
     detail["exact_compile_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     m1 = engine.search_raw(corpus, 0.5)
@@ -92,6 +93,7 @@ def main():
     fengine.backend = "device"
     t0 = time.time()
     m2 = fengine.search_raw(corpus, 0.8)
+    fengine.search_raw(corpus, 0.8)  # capacity ratchet-down may recompile once
     detail["fuzzy_compile_s"] = round(time.time() - t0, 1)
     t0 = time.time()
     m2 = fengine.search_raw(corpus, 0.8)

@@ -36,6 +36,7 @@ def main():
     print("--- warm (compile + caps discovery) ---")
     t0 = time.perf_counter()
     engine.search_raw(corpus, 0.8)
+    engine.search_raw(corpus, 0.8)  # cap ratchet-down recompile
     print(f"warm total {(time.perf_counter() - t0):.1f}s")
     for stage in ("0", "1", "2", "3"):
         os.environ["FAC_DP_STAGE"] = stage

@@ -256,13 +256,13 @@ def exact_search_packed(engine, haystack: str, threshold: float, view) -> Option
 def exact_search_device(engine, haystack: str, threshold: float, view=None) -> List["FuzzyMatch"]:
     """Device exact search: oracle-identical match list (unsorted)."""
     from ..structs import FuzzyMatch
-    from ..utils.graphemes import HaystackView
+    from ..utils.graphemes import view_of
 
     dense = engine.dense
     thr = np.float32(threshold)
 
     if view is None:
-        view = HaystackView(haystack, engine.case_insensitive)
+        view = view_of(haystack, engine.case_insensitive)
 
     packed = exact_search_packed(engine, haystack, threshold, view)
     if packed is not None:
@@ -383,11 +383,11 @@ def exact_scan_hits(engine, haystack: str, view=None):
     Threshold-0 variant of :func:`exact_search_device` used by the seed
     filter — no byte-offset mapping, no FuzzyMatch construction.
     """
-    from ..utils.graphemes import HaystackView
+    from ..utils.graphemes import view_of
 
     dense = engine.dense
     if view is None:
-        view = HaystackView(haystack, engine.case_insensitive)
+        view = view_of(haystack, engine.case_insensitive)
     ids = dense.transcode(haystack, view)
     n = len(ids)
     if n == 0:

@@ -526,7 +526,7 @@ def _fuzzy1_scan_kernel(*args, C, T, K):
     jax.jit,
     static_argnames=(
         "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k", "span",
-        "KA", "NCH", "C", "T", "K_c", "KG",
+        "KA", "NCH", "C", "T", "K_c", "KG", "CONSTS",
     ),
 )
 def _fuzzy1_pipeline_jit(
@@ -536,7 +536,7 @@ def _fuzzy1_pipeline_jit(
     ids_dense, limit,
     max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
     A, W, NL, TB, grid, chunkpf, halo, k, span,
-    KA, NCH, C, T, K_c, KG,
+    KA, NCH, C, T, K_c, KG, CONSTS=None,
 ):
     """Whole fuzzy E=1 search as ONE dispatch: packed shift-AND anchors ->
     chunked beam scans -> globally compacted match tuples, all device-side.
@@ -558,7 +558,7 @@ def _fuzzy1_pipeline_jit(
 
     covered = anchor_covered_flags(
         ids_pf, word_tbl, pf_starts, pf_match, pf_init, limit,
-        A, W, NL, TB, grid, chunkpf, halo, k, span,
+        A, W, NL, TB, grid, chunkpf, halo, k, span, consts=CONSTS,
     )
     count_a, aidx = compact_indices(covered, KA)
     # Dead anchor slots scan from position `limit` where in_text is false
@@ -636,6 +636,7 @@ def _fuzzy1_fused(engine, haystack: str, thr, view, n: int, T: int, max_pen, cei
         _dev_consts,
         _space_token,
         packed_fuzzy_of,
+        scan_consts,
     )
 
     if n > RESIDENT_MAX:
@@ -735,6 +736,7 @@ def _fuzzy1_fused(engine, haystack: str, thr, view, n: int, T: int, max_pen, cei
                 A=pk.A, W=pk.W, NL=NL, TB=TB, grid=grid, chunkpf=chunkpf,
                 halo=halo, k=k, span=span,
                 KA=KA, NCH=NCH, C=dense.num_classes, T=T, K_c=K_c, KG=KG,
+                CONSTS=scan_consts(pk.word_tbl, pk.starts, match, init),
             )
         )
         count_a, max_em, total = int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
@@ -855,13 +857,13 @@ def _candidate_starts(engine, haystack, view, n, thr) -> np.ndarray:
 def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> List["FuzzyMatch"]:
     """Device fuzzy search (FAST-path configs): oracle-identical matches."""
     from ..structs import FuzzyMatch, f32
-    from ..utils.graphemes import HaystackView
+    from ..utils.graphemes import view_of
     from .. import oracle
 
     dense = engine.dense
     thr = np.float32(threshold)
     if view is None:
-        view = HaystackView(haystack, engine.case_insensitive)
+        view = view_of(haystack, engine.case_insensitive)
     n = len(view)  # grapheme count == transcoded length
     if n == 0:
         return []

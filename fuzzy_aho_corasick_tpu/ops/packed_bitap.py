@@ -265,45 +265,95 @@ class PackedFuzzy:
 # Kernel
 # ---------------------------------------------------------------------------
 
+def scan_consts(word_tbl, starts, match, init) -> tuple:
+    """Hashable u32-literal form of the scan tables, for baking into the
+    kernel (see :func:`_kernel_factory` ``consts``). Must be part of the
+    calling jit's static key."""
+    w = np.ascontiguousarray(word_tbl).view(np.uint32)
+    tt2 = lambda a: tuple(tuple(int(v) for v in r) for r in np.asarray(a, dtype=np.uint32))
+    return (
+        tt2(w),
+        tuple(int(v) for v in np.asarray(starts, dtype=np.uint32)),
+        tt2(match),
+        tt2(init),
+    )
+
+
 def _shl1(lo, hi):
     one = jnp.uint32(1)
     return lo << one, (hi << one) | jax.lax.shift_right_logical(lo, jnp.uint32(31))
 
 
 def _kernel_factory(
-    k: int, W: int, NL: int, TB: int, emit_words: bool, A: int, reset_axis: int = 0
+    k: int, W: int, NL: int, TB: int, emit_words: bool, A: int, reset_axis: int = 0,
+    consts=None,
 ):
+    """``consts`` (optional) bakes the per-engine automaton constants into
+    the kernel as immediates: a tuple ``(tbl, starts, match, init)`` of
+    nested int tuples (u32 bit patterns). Baked kernels skip every all-zero
+    (class, word) select and every all-zero match word — the word-table
+    expansion is the scan's dominant cost and the tables are sparse (a
+    character appears in few limb words), so this is a ~2-3x kernel win.
+    The caller must make the constants part of its jit static key (the
+    engine's packed tables are immutable per engine, so per-engine compile
+    specialization is exactly the reference's monomorphization move,
+    src/search.rs:204-393 — applied to data instead of types)."""
+
+    if consts is not None:
+        tbl_c, starts_c, match_c, init_c = consts
+
     def kern(tbl_ref, starts_ref, match_ref, init_ref, lanes_ref, *rest):
-        # rest = flag_ref, [2W words refs], r_ref, wsc_ref
+        # rest = flag_ref, [2W words refs], r_ref, ids_ref
         flag_ref = rest[0]
         words_refs = rest[1 : 1 + 2 * W] if emit_words else None
         r_ref = rest[-2]
-        wsc_ref = rest[-1]
+        ids_ref = rest[-1]
 
         @pl.when(pl.program_id(reset_axis) == 0)
         def _():
             for d in range(k + 1):
                 for i in range(2 * W):
-                    r_ref[d, i, :] = init_ref[d, i, :]
+                    if consts is not None:
+                        r_ref[d, i, :] = jnp.full((NL,), init_c[d][i], jnp.uint32)
+                    else:
+                        r_ref[d, i, :] = init_ref[d, i, :]
 
-        # Per-symbol limb words computed IN the kernel: one select per
-        # (symbol, u32 half) over the block's raw ids. This keeps the
-        # kernel's HBM input at 1 byte/symbol — the former host-side one-hot
-        # einsum materialized ~28 bytes/symbol of planes and dominated the
-        # whole pass (~35 ms per 37 M symbols vs ~0.4 ms for the scan).
-        lanes = lanes_ref[...].astype(jnp.int32)          # [TB, NL]
-        for i in range(2 * W):
-            acc = jnp.zeros((TB, NL), jnp.uint32)
-            for c in range(1, A):
-                wv = tbl_ref[c, i].astype(jnp.uint32)     # SMEM scalar
-                acc = jnp.where(lanes == c, wv, acc)
-            wsc_ref[i, :, :] = acc
+        if consts is not None:
+            starts = [jnp.uint32(starts_c[i]) for i in range(2 * W)]
+            match = [[jnp.uint32(match_c[d][i]) for i in range(2 * W)] for d in range(k + 1)]
+            match_nz = [[match_c[d][i] != 0 for i in range(2 * W)] for d in range(k + 1)]
+        else:
+            starts = [starts_ref[i, :] for i in range(2 * W)]
+            match = [[match_ref[d, i, :] for i in range(2 * W)] for d in range(k + 1)]
+            match_nz = [[True] * (2 * W) for _ in range(k + 1)]
 
-        starts = [starts_ref[i, :] for i in range(2 * W)]
-        match = [[match_ref[d, i, :] for i in range(2 * W)] for d in range(k + 1)]
+        # Widen the block's raw u8 ids into a u32 scratch once (static full
+        # store — Mosaic can't do dynamic-row i8 vector loads), so the row
+        # loop reads symbols with the proven dynamic-middle-dim pattern.
+        ids_ref[0, :, :] = lanes_ref[...].astype(jnp.uint32)
 
         def body(t, _):
-            bc = [wsc_ref[i, t, :] for i in range(2 * W)]
+            # Per-symbol limb words computed per ROW, in registers: one
+            # compare per class shared by all 2W words (baked kernels also
+            # skip every all-zero (class, word) pair). Keeps the kernel's
+            # HBM input at 1 byte/symbol with a TB x NL x u32 widen scratch
+            # instead of the former 2W x TB x NL expansion scratch (8 W
+            # bytes/symbol of scoped VMEM -> 4).
+            sym = ids_ref[0, t, :].astype(jnp.int32)      # [NL]
+            bc = [jnp.zeros((NL,), jnp.uint32) for _ in range(2 * W)]
+            for c in range(1, A):
+                if consts is not None:
+                    nz = [i for i in range(2 * W) if tbl_c[c][i] != 0]
+                    if not nz:
+                        continue
+                    mask = sym == c
+                    for i in nz:
+                        bc[i] = jnp.where(mask, jnp.uint32(tbl_c[c][i]), bc[i])
+                else:
+                    mask = sym == c
+                    for i in range(2 * W):
+                        wv = tbl_ref[c, i].astype(jnp.uint32)  # SMEM scalar
+                        bc[i] = jnp.where(mask, wv, bc[i])
 
             new = [[None] * (2 * W) for _ in range(k + 1)]
             prev = [[r_ref[d, i, :] for i in range(2 * W)] for d in range(k + 1)]
@@ -326,7 +376,8 @@ def _kernel_factory(
             for i in range(2 * W):
                 wacc = jnp.zeros((NL,), jnp.uint32)
                 for d in range(k + 1):
-                    wacc |= new[d][i] & match[d][i]
+                    if match_nz[d][i]:
+                        wacc |= new[d][i] & match[d][i]
                 acc |= wacc
                 if emit_words:
                     words_refs[i][t, :] = wacc
@@ -354,8 +405,10 @@ def _derive_layout(n: int, halo: int, W: int):
     # persistent compile cache hits across corpus sizes.
     chunk = max(-(-n // nl), halo, 8)
     chunk = 1 << (chunk - 1).bit_length()
-    # Mosaic requires the block's second-to-last dim divisible by 8.
-    tb = max(8, (VMEM_BLOCK_BYTES // (nl * 8 * W)) // 8 * 8)
+    # Mosaic requires the block's second-to-last dim divisible by 8. Block
+    # IO is 5 bytes/row-lane (u8 ids in, i32 flags out), double-buffered;
+    # 12 bytes/row-lane of budget leaves headroom for the register state.
+    tb = max(8, (VMEM_BLOCK_BYTES // (nl * 12)) // 8 * 8)
     rows_needed = halo + chunk
     grid = -(-rows_needed // tb)
     return nl, tb, chunk, grid
@@ -374,8 +427,9 @@ def _lanes_of(ids_pad, NL, chunk, halo, rows):
     return jnp.pad(lanes, ((0, rows - halo - chunk), (0, 0)))
 
 
-def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, emit_words, rows):
-    kern = _kernel_factory(k, W, NL, TB, emit_words, A)
+def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, emit_words, rows,
+                 consts=None):
+    kern = _kernel_factory(k, W, NL, TB, emit_words, A, consts=consts)
     out_shape = [jax.ShapeDtypeStruct((rows, NL), jnp.int32)]
     out_specs = [pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM)]
     if emit_words:
@@ -398,7 +452,7 @@ def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, em
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((k + 1, 2 * W, NL), jnp.uint32),
-            pltpu.VMEM((2 * W, TB, NL), jnp.uint32),
+            pltpu.VMEM((1, TB, NL), jnp.uint32),
         ],
         interpret=_interpret(),
     )(word_tbl, starts, match, init, lanes)
@@ -412,7 +466,7 @@ REPLAY_NL = 8192
 
 
 def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH,
-                  ids_w32=None):
+                  ids_w32=None, consts=None):
     """Per-hit match words by REPLAYING the shift-AND NFA over each hit's
     trailing window, instead of writing full-corpus per-position words.
 
@@ -480,7 +534,7 @@ def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
     lanes = lanes.at[L2p - L2 :, : pos.shape[0]].set(jnp.stack(rows, axis=0))
 
     nchunks = KHp // REPLAY_NL
-    kern = _kernel_factory(k, W, REPLAY_NL, TB2, True, A, reset_axis=1)
+    kern = _kernel_factory(k, W, REPLAY_NL, TB2, True, A, reset_axis=1, consts=consts)
     bcast = lambda a: jnp.broadcast_to(a[..., None], a.shape + (REPLAY_NL,))
     out_shape = [jax.ShapeDtypeStruct((L2p, KHp), jnp.int32)] + [
         jax.ShapeDtypeStruct((L2p, KHp), jnp.uint32) for _ in range(2 * W)
@@ -500,7 +554,7 @@ def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
         out_specs=[io_spec] * (1 + 2 * W),
         scratch_shapes=[
             pltpu.VMEM((k + 1, 2 * W, REPLAY_NL), jnp.uint32),
-            pltpu.VMEM((2 * W, TB2, REPLAY_NL), jnp.uint32),
+            pltpu.VMEM((1, TB2, REPLAY_NL), jnp.uint32),
         ],
         interpret=_interpret(),
     )(
@@ -517,9 +571,10 @@ def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
 
 @functools.partial(
     jax.jit,
-    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K"),
+    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K", "CONSTS"),
 )
-def _packed_exact_jit(ids_pad, ids_w32, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K):
+def _packed_exact_jit(ids_pad, ids_w32, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K,
+                      CONSTS=None):
     """ids [NL*chunk] u8 -> one int32 buffer [1 + K, 1 + 2W]: row 0 col 0 is
     the hit count, row 1+j is (stream position, match words) for hit j.
 
@@ -530,7 +585,7 @@ def _packed_exact_jit(ids_pad, ids_w32, word_tbl, starts, match, init, A, W, NL,
     words come from the replay kernel (see :func:`packed_hits`)."""
     count, pos, w = packed_hits(
         ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk,
-        halo, 0, K, ids_w32=ids_w32,
+        halo, 0, K, ids_w32=ids_w32, consts=CONSTS,
     )
     header = jnp.zeros((1, 1 + 2 * W), jnp.int32).at[0, 0].set(count)
     body = jnp.concatenate([pos[:, None], w.astype(jnp.int32)], axis=1)
@@ -539,7 +594,7 @@ def _packed_exact_jit(ids_pad, ids_w32, word_tbl, starts, match, init, A, W, NL,
 
 def packed_hits(
     ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, k, KH,
-    ids_w32=None,
+    ids_w32=None, consts=None,
 ):
     """Traceable shift-AND pass emitting per-hit (end positions, match words).
 
@@ -551,7 +606,8 @@ def packed_hits(
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
     flag, _ = _pallas_scan(
-        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, False, rows
+        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, False, rows,
+        consts=consts,
     )
     # Transpose to STREAM order before compaction: hit positions come out
     # ascending, which the DP pipeline's run-dedup depends on (consecutive
@@ -561,13 +617,14 @@ def packed_hits(
     pos = idx  # flat index IS the stream position in lane-major order
     w = _replay_words(
         ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH,
-        ids_w32=ids_w32,
+        ids_w32=ids_w32, consts=consts,
     )
     return count, pos, w
 
 
 def anchor_covered_flags(
-    ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span
+    ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span,
+    consts=None,
 ):
     """Hit flags in stream order, dilated backwards by the window span:
     int32 [NL * chunk], 1 = position may start a fuzzy match. ``n`` is a
@@ -578,7 +635,8 @@ def anchor_covered_flags(
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
     flag, _ = _pallas_scan(
-        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, False, rows
+        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, False, rows,
+        consts=consts,
     )
     flat = flag[halo : halo + chunk].T.reshape(-1)
     return dilate_any(flat, span) & (jnp.arange(flat.shape[0], dtype=jnp.int32) < n)
@@ -586,15 +644,17 @@ def anchor_covered_flags(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K", "k", "span"),
+    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K", "k", "span", "CONSTS"),
 )
 def _packed_anchors_jit(
-    ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, K, k, span
+    ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, K, k, span,
+    CONSTS=None,
 ):
     """Compacted anchor positions as one int32 buffer: [0] = count,
     [1:] = positions (one device_get on the host side)."""
     covered = anchor_covered_flags(
-        ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span
+        ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span,
+        consts=CONSTS,
     )
     count, idx = compact_indices(covered, K)
     return jnp.concatenate([count[None], idx])
@@ -645,7 +705,7 @@ def _derive_layout_resident(nb: int, halo: int, W: int):
     while nl > 128 and nb // nl < max(halo, 8):
         nl //= 2
     chunk = nb // nl
-    tb = max(8, (VMEM_BLOCK_BYTES // (nl * 8 * W)) // 8 * 8)
+    tb = max(8, (VMEM_BLOCK_BYTES // (nl * 12)) // 8 * 8)
     grid = -(-(halo + chunk) // tb)
     return nl, tb, chunk, grid
 
@@ -715,10 +775,14 @@ def _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo, ids_w32=No
         ids_w32 = jnp.zeros((0, 8), jnp.uint32)  # sentinel: in-graph pack
     key = ("exact", NL, TB, grid, chunk)
     K = caps.get(key, 1 << 14)
+    CONSTS = scan_consts(
+        pk.word_tbl, pk.starts, pk.match_mask(), np.zeros((1, 2 * pk.W), np.uint32)
+    )
     while True:
         buf = jax.device_get(
             _packed_exact_jit(
-                ids_dev, ids_w32, tbl, sb, mb, ib, pk.A, pk.W, NL, TB, grid, chunk, halo, K
+                ids_dev, ids_w32, tbl, sb, mb, ib, pk.A, pk.W, NL, TB, grid, chunk, halo, K,
+                CONSTS=CONSTS,
             )
         )
         cnt = int(buf[0, 0])
@@ -819,6 +883,8 @@ def fuzzy_anchors_packed(engine, haystack: str, threshold: np.float32) -> Option
             ),
         )
 
+    CONSTS = scan_consts(pk.word_tbl, pk.starts, match, init)
+
     def run(ids_dev, NL, TB, chunk, grid, n_live):
         tbl, sb, mb, ib = consts(NL)
         key = ("anchors", k, NL, TB, grid, chunk)
@@ -828,6 +894,7 @@ def fuzzy_anchors_packed(engine, haystack: str, threshold: np.float32) -> Option
                 _packed_anchors_jit(
                     ids_dev, tbl, sb, mb, ib, np.int32(n_live),
                     pk.A, pk.W, NL, TB, grid, chunk, halo, K, k, span,
+                    CONSTS=CONSTS,
                 )
             )
             cnt = int(buf[0])

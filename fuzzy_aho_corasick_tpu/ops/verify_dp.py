@@ -1049,7 +1049,7 @@ def _emit_rows_typed(
     static_argnames=(
         "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
         "KH", "CAND", "KG", "E", "Lmax", "C", "MO",
-        "BITS", "P2F", "DEPTHS", "DEADEND", "TYPED", "STAGE",
+        "BITS", "P2F", "DEPTHS", "DEADEND", "TYPED", "STAGE", "CONSTS",
     ),
 )
 def _dp_pipeline_jit(
@@ -1068,6 +1068,7 @@ def _dp_pipeline_jit(
     DEADEND=False,
     TYPED=None,
     STAGE=3,
+    CONSTS=None,
 ):
     """Whole DP-verified fuzzy search as one dispatch; single int32 result
     buffer with the same layout as ops/fuzzy._fuzzy1_pipeline_jit:
@@ -1095,7 +1096,7 @@ def _dp_pipeline_jit(
     count_h, pos, words = packed_hits(
         ids_pf, word_tbl, pf_starts, pf_match, pf_init,
         A, W, NL, TB, grid, chunkpf, halo, k, KH,
-        ids_w32=ids_pf_w32,
+        ids_w32=ids_pf_w32, consts=CONSTS,
     )
     if STAGE == 0:
         return _early(count_h, jnp.int32(0), words.astype(jnp.int32).sum())
@@ -1331,6 +1332,9 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         ks.append(kq)
     match, init, k = pk.fuzzy_masks(ks)
     halo = pk.m_max + k
+    from .packed_bitap import scan_consts
+
+    SCAN_CONSTS = scan_consts(pk.word_tbl, pk.starts, match, init)
 
     dense = engine.dense
     pens = engine.penalties
@@ -1472,6 +1476,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
                 DEADEND=dense.has_multibyte_edges and typed is None,
                 TYPED=TYPED,
                 STAGE=int(_os.environ.get("FAC_DP_STAGE", "3")),
+                CONSTS=SCAN_CONSTS,
         )
         if _timing:
             out_dev = jax.block_until_ready(out_dev)
@@ -1502,6 +1507,20 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     caps[kh_key] = max(caps.get(kh_key, 0), KH)
     caps[ca_key] = max(caps.get(ca_key, 0), CAND)
     caps[kg_key] = max(caps.get(kg_key, 0), KG)
+    # Ratchet DOWN oversized caps (with hysteresis) so steady-state searches
+    # run at <= ~1.5x the real counts: kernel work is proportional to the
+    # static capacities, and the corpus-scaled initial guesses above can
+    # overshoot the real hit rate by 2x+. The next search recompiles once at
+    # the tight shape (persistent-cache-friendly) and every search after
+    # that keeps it; a hotter corpus just re-enters the grow loop.
+    for key_, cap_, actual_ in (
+        (kh_key, KH, count_h),
+        (ca_key, CAND, cand_count),
+        (kg_key, KG, total),
+    ):
+        tight = _fine_cap(actual_)
+        if 3 * tight <= 2 * cap_:
+            caps[key_] = tight
 
     rows = buf[1 : 1 + total]
     from .emit import decode_matches
@@ -1538,11 +1557,11 @@ def fuzzy_search_typed_device(engine, haystack: str, threshold) -> List:
     src/search.rs:204-393 + 87-169); falls back to the host oracle when the
     packed model declines at this threshold (k past MAX_USEFUL_K)."""
     from .. import oracle
-    from ..utils.graphemes import HaystackView
+    from ..utils.graphemes import view_of
 
     spec = typed_spec_of(engine)
     assert spec is not None, "caller must gate on typed_spec_of"
-    view = HaystackView(haystack, engine.case_insensitive)
+    view = view_of(haystack, engine.case_insensitive)
     n = len(view)
     if n == 0:
         return []

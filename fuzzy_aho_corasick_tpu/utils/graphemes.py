@@ -62,6 +62,30 @@ def is_ascii(text: str) -> bool:
     return text.isascii()
 
 
+_VIEW_LRU: "dict[tuple, object]" = {}
+_VIEW_LRU_MAX = 4
+
+
+def view_of(haystack: str, case_insensitive: bool) -> "HaystackView":
+    """Small content-keyed cache of :class:`HaystackView` instances.
+
+    The device deployment model searches the same resident corpus many times
+    (utils/device_corpus); a fresh view per search re-pays ``str.encode`` of
+    the whole haystack (~20 ms / 100 MB) in the match decode and, for Unicode,
+    the full segmentation pass. Keyed like the device-corpus cache —
+    ``hash(str)`` is cached inside the str object, equality guards collisions.
+    """
+    key = (hash(haystack), len(haystack), case_insensitive)
+    hit = _VIEW_LRU.get(key)
+    if hit is not None and (hit.haystack is haystack or hit.haystack == haystack):
+        return hit
+    view = HaystackView(haystack, case_insensitive)
+    if len(_VIEW_LRU) >= _VIEW_LRU_MAX:
+        _VIEW_LRU.pop(next(iter(_VIEW_LRU)))
+    _VIEW_LRU[key] = view
+    return view
+
+
 class HaystackView:
     """A segmented, optionally case-folded view of a haystack.
 
