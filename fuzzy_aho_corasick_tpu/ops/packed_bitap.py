@@ -571,24 +571,41 @@ def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
 
 @functools.partial(
     jax.jit,
-    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K", "CONSTS"),
+    static_argnames=("A", "W", "NL", "TB", "grid", "chunk", "halo", "K", "KE",
+                     "FBITS", "CONSTS"),
 )
 def _packed_exact_jit(ids_pad, ids_w32, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, K,
-                      CONSTS=None):
-    """ids [NL*chunk] u8 -> one int32 buffer [1 + K, 1 + 2W]: row 0 col 0 is
-    the hit count, row 1+j is (stream position, match words) for hit j.
+                      KE=None, FBITS=None, CONSTS=None):
+    """ids [NL*chunk] u8 -> one int32 buffer [1 + KE, 2]: row 0 is
+    ``[hit_count, emission_count]``, row 1+j is (stream position, field
+    index) for emission j — field bits are expanded ON DEVICE so the result
+    is 8 bytes per emission instead of 4 + 8W bytes per hit (the tunneled
+    host link moves ~13 MB/s; result bytes ARE the latency).
 
-    Positions index the hit's *last* symbol. Everything is packed into a
-    single buffer because the host link on tunneled rigs charges a ~30 ms
-    round trip per transfer — one ``device_get`` per search, not one per
-    field (and never a scalar sync). The scan runs flag-only and per-hit
-    words come from the replay kernel (see :func:`packed_hits`)."""
+    ``FBITS``: static tuple of (u32 column, shift) per field. Positions
+    index the hit's *last* symbol. Everything is packed into a single
+    buffer: one ``device_get`` per search, never a scalar sync. The scan
+    runs flag-only and per-hit words come from the replay kernel (see
+    :func:`packed_hits`)."""
     count, pos, w = packed_hits(
         ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk,
         halo, 0, K, ids_w32=ids_w32, consts=CONSTS,
     )
-    header = jnp.zeros((1, 1 + 2 * W), jnp.int32).at[0, 0].set(count)
-    body = jnp.concatenate([pos[:, None], w.astype(jnp.int32)], axis=1)
+    hit_ok = pos >= 0
+    flags, fields = [], []
+    for fi, (col, sh) in enumerate(FBITS):
+        bit = (w[:, col] >> jnp.uint32(sh)) & jnp.uint32(1)
+        flags.append(hit_ok & (bit == 1))
+    fl = jnp.concatenate(flags)                          # [F * K] field-major
+    count_e, eidx = compact_indices(fl, KE)
+    esafe = jnp.maximum(eidx, 0)
+    e_pos = pos[esafe % K]
+    e_field = esafe // K
+    ok = eidx >= 0
+    header = jnp.stack([count, count_e])[None, :]
+    body = jnp.stack(
+        [jnp.where(ok, e_pos, -1), jnp.where(ok, e_field, 0)], axis=1
+    )
     return jnp.concatenate([header, body], axis=0)
 
 
@@ -740,26 +757,21 @@ def _bcast(arr: np.ndarray, NL: int) -> jnp.ndarray:
     return jax.device_put(np.broadcast_to(arr[..., None], arr.shape + (NL,)).copy())
 
 
-def _decode_fields(pk, pos: np.ndarray, w: np.ndarray, base: int):
-    """Per-field hit decode: (ends, field indices) from compacted positions +
-    match words."""
-    ends_all: List[np.ndarray] = []
-    fields_all: List[np.ndarray] = []
-    for fi, (_ni, depth, lw, fo, _path) in enumerate(pk.fields):
+def _field_bits(pk) -> tuple:
+    """Static (u32 column, shift) of each field's last bit (match word
+    layout) — the device-side form of the old host per-field word decode."""
+    out = []
+    for _ni, depth, lw, fo, _path in pk.fields:
         bit = fo + depth - 1
-        col = 2 * lw + (bit >> 5)
-        sel = ((w[:, col] >> np.uint32(bit & 31)) & np.uint32(1)).astype(bool)
-        if sel.any():
-            e = pos[sel] + base + 1
-            ends_all.append(e)
-            fields_all.append(np.full(len(e), fi, dtype=np.int64))
-    if not ends_all:
-        return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    return np.concatenate(ends_all), np.concatenate(fields_all)
+        out.append((2 * lw + (bit >> 5), bit & 31))
+    return tuple(out)
 
 
 def _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo, ids_w32=None):
-    """Capacity-retry loop around one _packed_exact_jit dispatch."""
+    """Capacity-retry loop around one _packed_exact_jit dispatch. Returns
+    (positions, field indices) of every field emission (device-expanded)."""
+    from .verify_dp import _fine_cap
+
     caps = _cap_cache(engine)
     tbl, sb, mb, ib = _dev_consts(
         engine,
@@ -774,25 +786,54 @@ def _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo, ids_w32=No
     if ids_w32 is None:
         ids_w32 = jnp.zeros((0, 8), jnp.uint32)  # sentinel: in-graph pack
     key = ("exact", NL, TB, grid, chunk)
+    ekey = ("exactE", NL, TB, grid, chunk)
     K = caps.get(key, 1 << 14)
+    KE = caps.get(ekey, 1 << 14)
+    FBITS = _field_bits(pk)
     CONSTS = scan_consts(
         pk.word_tbl, pk.starts, pk.match_mask(), np.zeros((1, 2 * pk.W), np.uint32)
     )
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("FAC_TIME") == "1"
     while True:
-        buf = jax.device_get(
-            _packed_exact_jit(
-                ids_dev, ids_w32, tbl, sb, mb, ib, pk.A, pk.W, NL, TB, grid, chunk, halo, K,
-                CONSTS=CONSTS,
-            )
+        _t0 = _time.perf_counter()
+        out_dev = _packed_exact_jit(
+            ids_dev, ids_w32, tbl, sb, mb, ib, pk.A, pk.W, NL, TB, grid, chunk, halo, K,
+            KE=KE, FBITS=FBITS, CONSTS=CONSTS,
         )
-        cnt = int(buf[0, 0])
-        if cnt <= K:
+        if _timing:
+            out_dev = jax.block_until_ready(out_dev)
+            _t1 = _time.perf_counter()
+        buf = jax.device_get(out_dev)
+        if _timing:
+            print(
+                f"[FAC_TIME exact] dispatch={(_t1 - _t0) * 1e3:.1f}ms "
+                f"readback={(_time.perf_counter() - _t1) * 1e3:.1f}ms "
+                f"buf={buf.nbytes >> 10}KiB K={K} KE={KE}"
+            )
+        cnt, cnt_e = int(buf[0, 0]), int(buf[0, 1])
+        grew = False
+        if cnt > K:
+            K = 1 << (cnt - 1).bit_length()
+            grew = True
+        if cnt_e > KE:
+            KE = _fine_cap(cnt_e)
+            grew = True
+        if not grew:
             break
-        K = 1 << (cnt - 1).bit_length()
     caps[key] = max(caps.get(key, 0), K)
-    pos = buf[1 : 1 + cnt, 0].astype(np.int64)
-    w = buf[1 : 1 + cnt, 1:].astype(np.int64).astype(np.uint32)
-    return pos, w
+    caps[ekey] = max(caps.get(ekey, 0), KE)
+    # Ratchet oversized caps down (with hysteresis): result bytes are link
+    # time on the ~13 MB/s tunnel, and kernel work tracks the static caps.
+    for key_, cap_, actual_ in ((key, K, cnt), (ekey, KE, cnt_e)):
+        tight = _fine_cap(actual_)
+        if 3 * tight <= 2 * cap_:
+            caps[key_] = tight
+    pos = buf[1 : 1 + cnt_e, 0].astype(np.int64)
+    fld = buf[1 : 1 + cnt_e, 1].astype(np.int64)
+    return pos, fld
 
 
 def exact_hits_packed(engine, haystack: str, view):
@@ -821,11 +862,11 @@ def exact_hits_packed(engine, haystack: str, view):
             ),
         )
         NL, TB, chunk, grid = _derive_layout_resident(ids_dev.size, halo, pk.W)
-        pos, w = _run_exact_kernel(
+        pos, fld = _run_exact_kernel(
             engine, pk, ids_dev, NL, TB, chunk, grid, halo, ids_w32=ids_w32
         )
         keep = pos < n
-        return _decode_fields(pk, pos[keep], w[keep], 0)
+        return pos[keep] + 1, fld[keep]
 
     # Streaming path for corpora past the resident budget.
     ids = np.ascontiguousarray(pk.transcode(haystack, view, engine.dense), np.uint8)
@@ -840,11 +881,10 @@ def exact_hits_packed(engine, haystack: str, view):
         ids_pad = np.zeros(NL * chunk, dtype=np.uint8)
         ids_pad[: len(seg)] = seg
         ids_dev = jax.device_put(ids_pad)
-        pos, w = _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo)
+        pos, fld = _run_exact_kernel(engine, pk, ids_dev, NL, TB, chunk, grid, halo)
         keep = (pos >= (c0 - lo)) & (pos < (c1 - lo))
-        e, f = _decode_fields(pk, pos[keep], w[keep], lo)
-        ends_all.append(e)
-        fields_all.append(f)
+        ends_all.append(pos[keep] + lo + 1)
+        fields_all.append(fld[keep])
     return np.concatenate(ends_all), np.concatenate(fields_all)
 
 

@@ -1032,15 +1032,7 @@ def _emit_rows_typed(
     ).reshape(-1, 2)                               # row (b*NLC + lc)*CAND + m
     pc = pc_tab[(b * NLC + lc_sel) * CAND + m]
     me = sd[:, 1] + (b - E)
-    rows = jnp.stack(
-        [
-            jnp.where(ok, sd[:, 0], -1),
-            jnp.where(ok, pc[:, 0], 0),
-            jnp.where(ok, (me << 24) | pat_sel, 0),
-            jnp.where(ok, pc[:, 1], 0),
-        ],
-        axis=1,
-    )
+    rows = _pack_rows(ok, sd[:, 0], pc[:, 0], me, pat_sel, pc[:, 1])
     return total, rows
 
 
@@ -1071,10 +1063,10 @@ def _dp_pipeline_jit(
     CONSTS=None,
 ):
     """Whole DP-verified fuzzy search as one dispatch; single int32 result
-    buffer with the same layout as ops/fuzzy._fuzzy1_pipeline_jit:
+    buffer, 12 bytes per emission (see :func:`_pack_rows`):
 
-    * row 0: ``[hit_count, cand_count, total_emissions, 0, 0, 0]``
-    * row 1+j: ``[start, me, pattern, penalty_bits, edit_counts, 0]``
+    * row 0: ``[hit_count, cand_count, total_emissions]``
+    * row 1+j: ``[start, penalty_bits, me<<24 | pattern<<12 | counts]``
 
     ``STAGE`` truncates the pipeline for profiling (0 = packed hits only,
     1 = + candidate expansion, 2 = + banded DP, 3 = full); truncated stages
@@ -1083,15 +1075,15 @@ def _dp_pipeline_jit(
     from .packed_bitap import packed_hits
 
     def _early(count_h, cand_count, checksum):
-        # checksum in the spare header slot keeps the truncated stages from
+        # checksum in the first body row keeps the truncated stages from
         # being dead-code-eliminated without corrupting the cap-retry fields.
         header = (
-            jnp.zeros((1, 4), jnp.int32)
+            jnp.zeros((1, 3), jnp.int32)
             .at[0, 0].set(count_h)
             .at[0, 1].set(cand_count)
-            .at[0, 3].set(checksum)
         )
-        return jnp.concatenate([header, jnp.zeros((KG, 4), jnp.int32)], axis=0)
+        body = jnp.zeros((KG, 3), jnp.int32).at[0, 0].set(checksum)
+        return jnp.concatenate([header, body], axis=0)
 
     count_h, pos, words = packed_hits(
         ids_pf, word_tbl, pf_starts, pf_match, pf_init,
@@ -1148,7 +1140,7 @@ def _dp_pipeline_jit(
             TYPED_EMIT=(VECS, CNTS, ADM),
         )
     header = (
-        jnp.zeros((1, 4), jnp.int32)
+        jnp.zeros((1, 3), jnp.int32)
         .at[0, 0].set(count_h)
         .at[0, 1].set(cand_count)
         .at[0, 2].set(total)
@@ -1207,6 +1199,29 @@ def _expand_candidates(pos, words, start_lo, start_hi, pos_hi, E, CAND, BITS, P2
     cand_field = jnp.where(cidx >= 0, pair[:, 0], -1)
     cand_start = jnp.where(cidx >= 0, pair[:, 1], 0)
     return cand_count, cand_field, cand_start
+
+
+def _pack_rows(ok, start, pen_bits, me, pat, cnt):
+    """Emission rows packed to 12 bytes: [start, penalty f32 bits,
+    me<<24 | pattern<<12 | counts(4 x 3b)]. The tunneled host link moves
+    ~13 MB/s, so result bytes ARE end-to-end latency. Ranges are guaranteed
+    on the packed path: me <= Lmax + E < 128, pattern id < 4096 (the limb
+    budget caps total pattern graphemes at 512), per-type counts <= E <= 6."""
+    c12 = (
+        (cnt & 7)
+        | (((cnt >> 8) & 7) << 3)
+        | (((cnt >> 16) & 7) << 6)
+        | (((cnt >> 24) & 7) << 9)
+    )
+    col2 = (me << 24) | (pat << 12) | c12
+    return jnp.stack(
+        [
+            jnp.where(ok, start, -1),
+            jnp.where(ok, pen_bits, 0),
+            jnp.where(ok, col2, 0),
+        ],
+        axis=1,
+    )
 
 
 def _emit_rows(
@@ -1284,15 +1299,7 @@ def _emit_rows(
     for oo in range(1, MO):
         pat_sel = jnp.where(o == oo, pat_row[:, oo], pat_sel)
     me = sd[:, 1] + (b - E)
-    rows = jnp.stack(
-        [
-            jnp.where(ok, sd[:, 0], -1),
-            jnp.where(ok, pc[:, 0], 0),
-            jnp.where(ok, (me << 24) | pat_sel, 0),
-            jnp.where(ok, pc[:, 1], 0),
-        ],
-        axis=1,
-    )
+    rows = _pack_rows(ok, sd[:, 0], pc[:, 0], me, pat_sel, pc[:, 1])
     return total, rows
 
 
@@ -1526,13 +1533,19 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     from .emit import decode_matches
 
     _t3 = _time.perf_counter()
+    col2 = rows[:, 2].astype(np.int64)
+    c12 = col2 & 0xFFF
+    counts = (
+        (c12 & 7) | ((c12 >> 3) & 7) << 8 | ((c12 >> 6) & 7) << 16
+        | ((c12 >> 9) & 7) << 24
+    )
     results = decode_matches(
         engine, view, haystack, n,
         rows[:, 0],
-        (rows[:, 2].astype(np.int64) >> 24).astype(np.int32),   # me
-        rows[:, 2] & 0xFFFFFF,                                   # pattern
+        (col2 >> 24).astype(np.int32),                           # me
+        ((col2 >> 12) & 0xFFF).astype(np.int32),                 # pattern
         rows[:, 1].copy().view(np.float32),                      # penalty
-        rows[:, 3],                                              # counts
+        counts,
         thr,
     )
     if _timing:

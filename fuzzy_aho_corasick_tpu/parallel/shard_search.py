@@ -324,12 +324,15 @@ def make_sharded_fuzzy_step(
             limit_ext, thr, E, dense.max_out, CAND, KG,
         )
         gtotal = jax.lax.psum(total, "data")
+        # Two 3-wide header rows (emission rows are 12-byte packed,
+        # ops/verify_dp._pack_rows): [count_h, cand_count, total] then
+        # [gtotal (psum observability), 0, 0].
         header = (
-            jnp.zeros((1, 4), jnp.int32)
+            jnp.zeros((2, 3), jnp.int32)
             .at[0, 0].set(count_h)
             .at[0, 1].set(cand_count)
             .at[0, 2].set(total)
-            .at[0, 3].set(gtotal)
+            .at[1, 0].set(gtotal)
         )
         return jnp.concatenate([header, rows], axis=0)[None]
 
@@ -424,7 +427,7 @@ def sharded_fuzzy_search(
             )
             steps[sk] = hit
         step, halo = hit
-        buf = np.asarray(step(pf_dev, dn_dev))          # [n_dev, 1+KG, 4]
+        buf = np.asarray(step(pf_dev, dn_dev))          # [n_dev, 2+KG, 3]
         heads = buf[:, 0, :]
         grew = False
         mx = int(heads[:, 0].max(initial=0))
@@ -446,30 +449,34 @@ def sharded_fuzzy_search(
     caps[("KG",) + ck] = max(caps.get(("KG",) + ck, 0), KG)
 
     # Rebase ext starts to global grapheme positions and decode once.
-    starts_all, pens_all, mepat_all, cnts_all = [], [], [], []
+    starts_all, pens_all, mepat_all = [], [], []
     for d in range(n_dev):
         total = int(heads[d, 2])
-        rows = buf[d, 1 : 1 + total]
+        rows = buf[d, 2 : 2 + total]
         if total == 0:
             continue
         starts_all.append(rows[:, 0] - halo + d * shard_len)
         pens_all.append(rows[:, 1])
         mepat_all.append(rows[:, 2])
-        cnts_all.append(rows[:, 3])
     if not starts_all:
         engine.last_stats = {
             "backend": "device-fuzzy-sharded", "shards": n_dev, "matches": 0,
         }
         return []
     starts = np.concatenate(starts_all)
-    mepat = np.concatenate(mepat_all)
+    col2 = np.concatenate(mepat_all).astype(np.int64)
+    c12 = col2 & 0xFFF
+    counts = (
+        (c12 & 7) | ((c12 >> 3) & 7) << 8 | ((c12 >> 6) & 7) << 16
+        | ((c12 >> 9) & 7) << 24
+    )
     results = decode_matches(
         engine, view, haystack, n,
         starts,
-        (mepat.astype(np.int64) >> 24).astype(np.int32),
-        mepat & 0xFFFFFF,
+        (col2 >> 24).astype(np.int32),
+        ((col2 >> 12) & 0xFFF).astype(np.int32),
         np.concatenate(pens_all).view(np.float32),
-        np.concatenate(cnts_all),
+        counts,
         thr,
     )
     engine.last_stats = {
