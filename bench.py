@@ -1,16 +1,22 @@
 """Benchmark: exact + edits=1 fuzzy scan throughput on the real chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints the headline JSON line `{"metric": ..., "value": N, "unit": ...,
+"vs_baseline": N}` IMMEDIATELY after the two headline measurements (exact +
+fuzzy-E1) and flushes it, so the driver always records a number even if a
+later secondary bench hits a cold multi-minute kernel compile (that is what
+zeroed round 2: rc=124 with the JSON still unprinted).  Secondary benches
+(reference benches/benchmark.rs:139-257 analogs) then run under a wall-clock
+budget, log only to stderr, and a final merged JSON line (same metric, extras
+folded into "detail") is printed last — whichever line the driver parses,
+the headline number is present.
 
 Headline metric is bytes/s/chip of the end-to-end device search (native-C
 transcode on host + anchored scan kernels on device) over an ASCII corpus
 seeded with needles, per BASELINE.json's "bytes/s/chip (exact + edits=1
 fuzzy scan)": combined = total bytes / (exact time + fuzzy time).
 ``vs_baseline`` is measured against the driver target of 10 GB/s aggregate on
-a v5p-16. TPU v5p slice names count TensorCores (two per chip): the smallest
-slice is v5p-8 = 4 chips, so v5p-16 = 8 chips -> 1.25 GB/s per chip. (Round 1
-assumed 16 chips; the judge flagged the denominator — this is the
-conservative, correct reading.) The reference itself publishes no absolute
+a v5p-16.  TPU v5p slice names count TensorCores (two per chip): v5p-16 = 8
+chips -> 1.25 GB/s per chip.  The reference itself publishes no absolute
 numbers (BASELINE.md).
 """
 
@@ -20,6 +26,21 @@ import sys
 import time
 
 import numpy as np
+
+_T_START = time.time()
+# Wall-clock budget for the WHOLE process. The driver window killed round 2's
+# run (rc=124); the headline now prints long before this matters, and each
+# secondary bench checks the remaining budget before starting.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+
+
+def _elapsed() -> float:
+    return time.time() - _T_START
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{_elapsed():.0f}s] {msg}", file=sys.stderr, flush=True)
+
 
 # Repo-local persistent compile cache: XLA compiles for this target go
 # through a remote AOT service (minutes per kernel cold); the cache makes
@@ -46,6 +67,134 @@ def build_corpus(size_bytes: int) -> str:
         parts.append(w)
         size += len(w) + 1
     return " ".join(parts)
+
+
+def run_extras(detail, corpus, fengine, dictionary):
+    """Secondary benches (fuzzy E2/E3, 1k patterns, parallel replace, build).
+
+    Each entry checks the remaining wall-clock budget first; a cold kernel
+    compile in any one of them must never cost the headline number (it
+    already printed). Logs to stderr only.
+    """
+    from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
+
+    sub = corpus[: 24 << 20]
+    sn = len(sub)
+
+    def budget_ok(name: str, need_s: float = 60.0) -> bool:
+        if _elapsed() + need_s > _BUDGET_S:
+            _log(f"skipping {name}: {_elapsed():.0f}s elapsed, budget {_BUDGET_S:.0f}s")
+            detail[f"{name}_skipped"] = "budget"
+            return False
+        return True
+
+    # Builder throughput (reference benches/benchmark.rs:200-220
+    # build_automaton): patterns/s for a 10k-pattern dictionary build.
+    if budget_ok("build_automaton", 30.0):
+        try:
+            rng = np.random.default_rng(11)
+            alphabet = "abcdefghijklmnopqrstuvwxyz"
+            pats = sorted({
+                "".join(alphabet[i] for i in rng.integers(0, 26, size=int(m)))
+                for m in rng.integers(5, 14, size=10_000)
+            })
+            t0 = time.time()
+            FuzzyAhoCorasickBuilder.new().fuzzy(
+                FuzzyLimits.new().edits(1)
+            ).build(pats)
+            dt = time.time() - t0
+            detail["build_automaton_patterns_per_s"] = round(len(pats) / dt)
+            detail["build_automaton_patterns"] = len(pats)
+            _log(f"build_automaton: {len(pats)} patterns in {dt:.2f}s")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["build_automaton_error"] = repr(e)
+
+    # swaps(0) keeps the bitap budget k == edits (a swap costs 2 bitap
+    # errors, reference prefilter.rs:174-183 — with swaps allowed k
+    # doubles and the scan stops pruning on random text). These configs
+    # also exercise the typed-limits DP lane.
+    for edits in (2, 3):
+        name = f"fuzzy{edits}"
+        if not budget_ok(name, 90.0):
+            continue
+        try:
+            eng = (
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(edits).swaps(0))
+                .case_insensitive(True)
+                .build(dictionary)
+            )
+            eng.backend = "device"
+            thr = 0.62 if edits == 2 else 0.5
+            # Probe the DP lane on a 1 MiB slice first: if the packed scan
+            # is unselective at this budget the lane declines and the full
+            # run would fall back to the (hours-slow) oracle — skip instead.
+            from fuzzy_aho_corasick_tpu.ops.verify_dp import (
+                fuzzy_search_dp, typed_spec_of,
+            )
+            from fuzzy_aho_corasick_tpu.utils.graphemes import HaystackView
+
+            probe_text = sub[: 1 << 20]
+            pv = HaystackView(probe_text, True)
+            probe = fuzzy_search_dp(
+                eng, probe_text, thr, pv, len(pv), typed=typed_spec_of(eng)
+            )
+            if probe is None:
+                detail[f"{name}_bps"] = 0
+                detail[f"{name}_note"] = "dp lane declined (unselective)"
+                continue
+            eng.search_raw(sub, thr)  # warm
+            t0 = time.time()
+            ms = eng.search_raw(sub, thr)
+            dt = time.time() - t0
+            detail[f"{name}_bps"] = round(sn / dt)
+            detail[f"{name}_matches"] = len(ms)
+            _log(f"{name}: {sn / dt / 1e6:.0f} MB/s, {len(ms)} matches")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail[f"{name}_error"] = repr(e)
+
+    # 1k-pattern dictionary scan (seed-filter / packed lane).
+    if budget_ok("many1k", 90.0):
+        try:
+            rng = np.random.default_rng(7)
+            alphabet = "abcdefghijklmnopqrstuvwxyz"
+            many = sorted({
+                "".join(alphabet[i] for i in rng.integers(0, 26, size=int(m)))
+                for m in rng.integers(6, 12, size=1000)
+            })
+            meng = (
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(1))
+                .case_insensitive(True)
+                .build(many)
+            )
+            meng.backend = "device"
+            meng.search_raw(sub, 0.82)  # warm
+            t0 = time.time()
+            ms = meng.search_raw(sub, 0.82)
+            dt = time.time() - t0
+            detail["many1k_bps"] = round(sn / dt)
+            detail["many1k_patterns"] = len(many)
+            detail["many1k_matches"] = len(ms)
+            _log(f"many1k: {sn / dt / 1e6:.0f} MB/s")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["many1k_error"] = repr(e)
+
+    # Parallel streaming replace throughput (reference replace_bench.rs).
+    if budget_ok("replace_stream_parallel", 60.0):
+        try:
+            import io
+
+            t0 = time.time()
+            out = io.BytesIO()
+            fengine.replace_stream_parallel(
+                sub.encode(), out, 16, 0.8, lambda m: "<x>"
+            )
+            dt = time.time() - t0
+            detail["replace_stream_parallel_bps"] = round(sn / dt)
+            _log(f"replace_stream_parallel: {sn / dt / 1e6:.0f} MB/s")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["replace_stream_parallel_error"] = repr(e)
 
 
 def main():
@@ -82,6 +231,7 @@ def main():
     exact_s = time.time() - t0
     detail["exact_bps"] = round(nbytes / exact_s)
     detail["exact_matches"] = len(m1)
+    _log(f"exact: {nbytes / exact_s / 1e6:.0f} MB/s, {len(m1)} matches")
 
     # --- fuzzy edits=1 scan -----------------------------------------------
     fengine = (
@@ -100,84 +250,7 @@ def main():
     fuzzy_s = time.time() - t0
     detail["fuzzy_bps"] = round(nbytes / fuzzy_s)
     detail["fuzzy_matches"] = len(m2)
-
-    # --- secondary benches (reference benches/benchmark.rs:139-257:
-    # fuzzy_levels edits 2-3, search_many_patterns, replace) on a smaller
-    # corpus so the bench stays inside the driver window. Opt out with
-    # BENCH_EXTRAS=0.
-    if os.environ.get("BENCH_EXTRAS", "1") != "0":
-        sub = corpus[: 24 << 20]
-        sn = len(sub)
-
-        # swaps(0) keeps the bitap budget k == edits (a swap costs 2 bitap
-        # errors, reference prefilter.rs:174-183 — with swaps allowed k
-        # doubles and the scan stops pruning on random text). These configs
-        # also exercise the typed-limits DP lane.
-        for edits in (2, 3):
-            eng = (
-                FuzzyAhoCorasickBuilder.new()
-                .fuzzy(FuzzyLimits.new().edits(edits).swaps(0))
-                .case_insensitive(True)
-                .build(dictionary)
-            )
-            eng.backend = "device"
-            thr = 0.62 if edits == 2 else 0.5
-            # Probe the DP lane on a 1 MiB slice first: if the packed scan
-            # is unselective at this budget the lane declines and the full
-            # run would fall back to the (hours-slow) oracle — skip instead.
-            from fuzzy_aho_corasick_tpu.ops.verify_dp import (
-                fuzzy_search_dp, typed_spec_of,
-            )
-            from fuzzy_aho_corasick_tpu.utils.graphemes import HaystackView
-
-            probe_text = sub[: 1 << 20]
-            pv = HaystackView(probe_text, True)
-            probe = fuzzy_search_dp(
-                eng, probe_text, thr, pv, len(pv), typed=typed_spec_of(eng)
-            )
-            if probe is None:
-                detail[f"fuzzy{edits}_bps"] = 0
-                detail[f"fuzzy{edits}_note"] = "dp lane declined (unselective)"
-                continue
-            eng.search_raw(sub, thr)  # warm
-            t0 = time.time()
-            ms = eng.search_raw(sub, thr)
-            dt = time.time() - t0
-            detail[f"fuzzy{edits}_bps"] = round(sn / dt)
-            detail[f"fuzzy{edits}_matches"] = len(ms)
-
-        # 1k-pattern dictionary scan (seed-filter / packed lane).
-        rng = np.random.default_rng(7)
-        alphabet = "abcdefghijklmnopqrstuvwxyz"
-        many = sorted({
-            "".join(alphabet[i] for i in rng.integers(0, 26, size=int(m)))
-            for m in rng.integers(6, 12, size=1000)
-        })
-        meng = (
-            FuzzyAhoCorasickBuilder.new()
-            .fuzzy(FuzzyLimits.new().edits(1))
-            .case_insensitive(True)
-            .build(many)
-        )
-        meng.backend = "device"
-        meng.search_raw(sub, 0.82)  # warm
-        t0 = time.time()
-        ms = meng.search_raw(sub, 0.82)
-        dt = time.time() - t0
-        detail["many1k_bps"] = round(sn / dt)
-        detail["many1k_patterns"] = len(many)
-        detail["many1k_matches"] = len(ms)
-
-        # Parallel streaming replace throughput (reference replace_bench.rs).
-        import io
-
-        t0 = time.time()
-        out = io.BytesIO()
-        fengine.replace_stream_parallel(
-            sub.encode(), out, 16, 0.8, lambda m: "<x>"
-        )
-        dt = time.time() - t0
-        detail["replace_stream_parallel_bps"] = round(sn / dt)
+    _log(f"fuzzy1: {nbytes / fuzzy_s / 1e6:.0f} MB/s, {len(m2)} matches")
 
     combined = 2 * nbytes / (exact_s + fuzzy_s)
     result = {
@@ -187,9 +260,24 @@ def main():
         # Driver target: 10 GB/s aggregate on v5p-16 (= 8 chips; v5p slice
         # names count TensorCores, 2 per chip).
         "vs_baseline": round(combined / (10e9 / 8), 4),
-        "detail": detail,
+        "detail": dict(detail),
     }
-    print(json.dumps(result))
+    # HEADLINE: print + flush NOW, before any secondary bench can stall the
+    # process past the driver window (round-2 failure mode).
+    print(json.dumps(result), flush=True)
+
+    # --- secondary benches, budgeted, stderr-only -------------------------
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        try:
+            run_extras(detail, corpus, fengine, dictionary)
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["extras_error"] = repr(e)
+
+        result["detail"] = detail
+        # Final merged line (same headline metric/value, extras in detail):
+        # last stdout line if everything finished, else the early headline
+        # line is the last one — either way the driver parses a number.
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -427,17 +427,16 @@ def _lanes_of(ids_pad, NL, chunk, halo, rows):
     return jnp.pad(lanes, ((0, rows - halo - chunk), (0, 0)))
 
 
-def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, emit_words, rows,
+def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, rows,
                  consts=None):
-    kern = _kernel_factory(k, W, NL, TB, emit_words, A, consts=consts)
+    """Flag-only shift-AND scan. Per-hit match *words* are recovered by
+    :func:`_replay_words` (its own TB2 budget); this scan deliberately has no
+    emit-words mode — the _derive_layout TB budget (12 bytes/row-lane)
+    assumes the flag-only block IO, and 2W u32 word outputs would overflow
+    VMEM under it."""
+    kern = _kernel_factory(k, W, NL, TB, False, A, consts=consts)
     out_shape = [jax.ShapeDtypeStruct((rows, NL), jnp.int32)]
     out_specs = [pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM)]
-    if emit_words:
-        for _ in range(2 * W):
-            out_shape.append(jax.ShapeDtypeStruct((rows, NL), jnp.uint32))
-            out_specs.append(
-                pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM)
-            )
     outs = pl.pallas_call(
         kern,
         out_shape=out_shape,
@@ -456,8 +455,6 @@ def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, em
         ],
         interpret=_interpret(),
     )(word_tbl, starts, match, init, lanes)
-    if emit_words:
-        return outs[0], list(outs[1:])
     return outs[0], None
 
 
@@ -623,7 +620,7 @@ def packed_hits(
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
     flag, _ = _pallas_scan(
-        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, False, rows,
+        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, rows,
         consts=consts,
     )
     # Transpose to STREAM order before compaction: hit positions come out
@@ -652,7 +649,7 @@ def anchor_covered_flags(
     rows = grid * TB
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
     flag, _ = _pallas_scan(
-        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, False, rows,
+        lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, rows,
         consts=consts,
     )
     flat = flag[halo : halo + chunk].T.reshape(-1)

@@ -1464,6 +1464,11 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     import time as _time
 
     _timing = _os.environ.get("FAC_TIME") == "1"
+    # Stage truncation (profiling knob) is only honored alongside FAC_TIME:
+    # a stale exported FAC_DP_STAGE would otherwise silently zero production
+    # results (and the ratchet-down below would then shrink cached caps to
+    # the floor based on the truncated counts).
+    _stage = int(_os.environ.get("FAC_DP_STAGE", "3")) if _timing else 3
     while True:
         _t0 = _time.perf_counter()
         out_dev = _dp_pipeline_jit(
@@ -1482,7 +1487,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
                 BITS=BITS, P2F=P2F, DEPTHS=DEPTHS,
                 DEADEND=dense.has_multibyte_edges and typed is None,
                 TYPED=TYPED,
-                STAGE=int(_os.environ.get("FAC_DP_STAGE", "3")),
+                STAGE=_stage,
                 CONSTS=SCAN_CONSTS,
         )
         if _timing:
@@ -1520,14 +1525,15 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     # overshoot the real hit rate by 2x+. The next search recompiles once at
     # the tight shape (persistent-cache-friendly) and every search after
     # that keeps it; a hotter corpus just re-enters the grow loop.
-    for key_, cap_, actual_ in (
-        (kh_key, KH, count_h),
-        (ca_key, CAND, cand_count),
-        (kg_key, KG, total),
-    ):
-        tight = _fine_cap(actual_)
-        if 3 * tight <= 2 * cap_:
-            caps[key_] = tight
+    if _stage == 3:  # truncated profiling runs must not shrink cached caps
+        for key_, cap_, actual_ in (
+            (kh_key, KH, count_h),
+            (ca_key, CAND, cand_count),
+            (kg_key, KG, total),
+        ):
+            tight = _fine_cap(actual_)
+            if 3 * tight <= 2 * cap_:
+                caps[key_] = tight
 
     rows = buf[1 : 1 + total]
     from .emit import decode_matches

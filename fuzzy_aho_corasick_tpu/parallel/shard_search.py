@@ -192,7 +192,11 @@ def _shard_fuzzy_layout(shard_len: int, halo: int, margin: int, W: int):
         nl //= 2
     chunk = max(-(-ext_raw // nl), halo, 8)
     chunk = 1 << (chunk - 1).bit_length()
-    tb = max(8, (VMEM_BLOCK_BYTES // (nl * 8 * W)) // 8 * 8)
+    # Same flag-only block-IO budget as packed_bitap._derive_layout (12
+    # bytes/row-lane): the kernel's expansion scratch is 1*TB*NL u32 since
+    # the per-row word expansion landed, so the old nl*8*W formula would
+    # under-size TB (more grid steps) on the shard path.
+    tb = max(8, (VMEM_BLOCK_BYTES // (nl * 12)) // 8 * 8)
     grid = -(-(halo + chunk) // tb)
     return nl, tb, chunk, grid, nl * chunk
 

@@ -27,6 +27,8 @@ from typing import Callable, Iterator, List, Optional
 from .options import SearchOptions
 from .structs import FuzzyMatch, NumEdits
 
+_MISSING = object()  # sentinel: _separator_char caches None (= no free char)
+
 #: Default per-window byte target (reference src/stream.rs:65).
 DEFAULT_WINDOW = 256 * 1024
 
@@ -231,15 +233,17 @@ class StreamMatches:
             self.pending.extend(batch)
 
 
-def _separator_char(engine) -> str:
+def _separator_char(engine) -> Optional[str]:
     """A char no pattern contains — window regions joined by a run of it
-    longer than any possible match span are mutually invisible."""
-    sep = getattr(engine, "_stream_sep_char", None)
-    if sep is None:
+    longer than any possible match span are mutually invisible. ``None``
+    when the patterns collectively contain every control char (pathological;
+    the batch path then falls back to per-window searches)."""
+    sep = getattr(engine, "_stream_sep_char", _MISSING)
+    if sep is _MISSING:
         used = set()
         for p in engine._patterns:
             used.update(p.pattern)
-        sep = next(chr(c) for c in range(32) if chr(c) not in used)
+        sep = next((chr(c) for c in range(32) if chr(c) not in used), None)
         engine._stream_sep_char = sep
     return sep
 
@@ -257,11 +261,14 @@ def _batch_window_matches(engine, windows: List[_StreamWindow], threshold: float
     """
     from .matches import FuzzyMatches
 
-    if len(windows) == 1:
-        w = windows[0]
-        return [_apply_window(engine, w.text, engine.search_raw(w.text, threshold))]
+    sep_char = _separator_char(engine)
+    if len(windows) == 1 or sep_char is None:
+        return [
+            _apply_window(engine, w.text, engine.search_raw(w.text, threshold))
+            for w in windows
+        ]
 
-    sep = _separator_char(engine) * (engine.max_match_graphemes() + 1)
+    sep = sep_char * (engine.max_match_graphemes() + 1)
     sep_blen = len(sep)  # ASCII control char: 1 byte each
     offs: List[int] = []
     pos = 0

@@ -64,10 +64,19 @@ def is_ascii(text: str) -> bool:
 
 _VIEW_LRU: "dict[tuple, object]" = {}
 _VIEW_LRU_MAX = 4
+# Total *weighted* cached bytes: a non-ASCII view materializes per-grapheme
+# Python lists that run ~10x the corpus size, so Unicode entries are charged
+# 8x their length. Keeps cycling through large Unicode corpora from pinning
+# multiple GB of host memory.
+_VIEW_LRU_MAX_BYTES = 256 << 20
+
+
+def _view_cost(view: "HaystackView") -> int:
+    return len(view.haystack) * (1 if view.ascii else 8)
 
 
 def view_of(haystack: str, case_insensitive: bool) -> "HaystackView":
-    """Small content-keyed cache of :class:`HaystackView` instances.
+    """Small content-keyed LRU cache of :class:`HaystackView` instances.
 
     The device deployment model searches the same resident corpus many times
     (utils/device_corpus); a fresh view per search re-pays ``str.encode`` of
@@ -78,11 +87,18 @@ def view_of(haystack: str, case_insensitive: bool) -> "HaystackView":
     key = (hash(haystack), len(haystack), case_insensitive)
     hit = _VIEW_LRU.get(key)
     if hit is not None and (hit.haystack is haystack or hit.haystack == haystack):
+        # True LRU: refresh recency so hot views survive eviction.
+        _VIEW_LRU.pop(key)
+        _VIEW_LRU[key] = hit
         return hit
     view = HaystackView(haystack, case_insensitive)
-    if len(_VIEW_LRU) >= _VIEW_LRU_MAX:
-        _VIEW_LRU.pop(next(iter(_VIEW_LRU)))
     _VIEW_LRU[key] = view
+    # Evict oldest entries past either cap (never the one just inserted).
+    while len(_VIEW_LRU) > 1 and (
+        len(_VIEW_LRU) > _VIEW_LRU_MAX
+        or sum(_view_cost(v) for v in _VIEW_LRU.values()) > _VIEW_LRU_MAX_BYTES
+    ):
+        _VIEW_LRU.pop(next(iter(_VIEW_LRU)))
     return view
 
 
