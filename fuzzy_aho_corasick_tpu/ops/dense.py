@@ -90,6 +90,19 @@ class DenseAutomaton:
                     char_class[first_char] = len(class_repr)
                     class_repr.append(first_char)
                     edge_char_list.append(first_char)
+        # Mapping haystack-side chars need their OWN classes: the mapped DP
+        # lane (ops/verify_dp MappedSpec) tests haystack symbols for exact
+        # char identity against a mapping's haystack graphemes
+        # (reference src/search.rs:895-903), which class equality only
+        # provides when the char is never merged into a similarity group.
+        # Multi-char mapping graphemes are excluded (the mapped lane's
+        # haystack gate makes them unmatchable).
+        for mts in engine.mappings.values():
+            for mt in mts:
+                for g in mt.haystack:
+                    if len(g) == 1 and g not in char_class:
+                        char_class[g] = len(class_repr)
+                        class_repr.append(g)
 
         sim_get = engine.similarity.get
         universe: list[str] = [chr(b) for b in range(128)]

@@ -56,6 +56,22 @@ class DeviceEngine:
             and e.auto_beam is None
             and not e.nodes[0].output  # no empty patterns
         )
+        # Mapped mode: FAST budget + multi-char mappings served by the
+        # banded DP with static mapping arrivals (reference hot-loop branch
+        # src/search.rs:883-923; ops/verify_dp.MappedSpec gates the shapes
+        # the DP models — single-byte edges, pb <= 3, |ha - pb| <= 1).
+        self._mapped_ok = False
+        if (
+            1 <= e.max_edits_fast <= 6
+            and not e.has_pattern_limits
+            and e.mappings
+            and e.beam_width is None
+            and e.auto_beam is None
+            and not e.nodes[0].output
+        ):
+            from .verify_dp import mapped_spec_of
+
+            self._mapped_ok = mapped_spec_of(e) is not None
         # Typed mode: per-type caps and/or per-pattern limits served by the
         # type-vector-channel DP (reference general path src/search.rs:87-169;
         # ops/verify_dp.TypedSpec). Requires the packed prefilter model.
@@ -63,6 +79,7 @@ class DeviceEngine:
         if (
             not self._exact_ok
             and not self._fuzzy_ok
+            and not self._mapped_ok
             and not e.mappings
             and e.beam_width is None
             and e.auto_beam is None
@@ -79,8 +96,10 @@ class DeviceEngine:
 
     def supports(self, haystack: str) -> bool:
         """Whether the device path serves this (engine, haystack) pair with
-        results identical to the oracle."""
-        if not (self._exact_ok or self._fuzzy_ok or self._typed_ok):
+        results identical to the oracle (possibly via internal host
+        fallback for haystacks outside a lane's model)."""
+        if not (self._exact_ok or self._fuzzy_ok or self._typed_ok
+                or self._mapped_ok):
             return False
         # Root-output (empty-pattern) exact configs keep the oracle's NaN
         # semantics; not worth a kernel.
@@ -97,6 +116,10 @@ class DeviceEngine:
             from .fuzzy import fuzzy_search_device
 
             return fuzzy_search_device(self.engine, haystack, threshold)
+        if self._mapped_ok:
+            from .verify_dp import fuzzy_search_mapped_device
+
+            return fuzzy_search_mapped_device(self.engine, haystack, threshold)
         from .verify_dp import fuzzy_search_typed_device
 
         return fuzzy_search_typed_device(self.engine, haystack, threshold)

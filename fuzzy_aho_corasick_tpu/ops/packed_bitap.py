@@ -224,7 +224,10 @@ class PackedFuzzy:
 
         filt = getattr(engine, "_bitap_filter_cache", None)
         if filt is None:
-            filt = BitapFilter.build(engine)
+            # allow_mappings: mapped engines use the packed scan with an
+            # edit-count-based budget (ops/verify_dp.MappedSpec), never the
+            # threshold-based k_for. Engines without mappings are unaffected.
+            filt = BitapFilter.build(engine, allow_mappings=True)
             engine._bitap_filter_cache = filt if filt is not None else False
         if filt is False or filt is None:
             return None

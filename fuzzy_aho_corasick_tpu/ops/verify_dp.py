@@ -150,6 +150,125 @@ def verify_fields_of(engine) -> Optional[VerifyFields]:
 
 
 # ---------------------------------------------------------------------------
+# Mapped-engine support: static mapping-arrival tables for the banded DP
+# ---------------------------------------------------------------------------
+
+#: Deepest pattern-side mapping walk the DP history window supports.
+MAPPED_PB_MAX = 3
+#: Unrolled-DP row bound (mapping arrivals need static window indices).
+MAPPED_LMAX = 24
+
+
+class MappedSpec:
+    """Static mapping-arrival tables for the banded DP (device lane for
+    multi-char mappings — reference hot-loop branch src/search.rs:883-923,
+    precompute src/builder.rs:383-442).
+
+    A mapping at path offset ``i`` of a field consumes ``ha`` haystack
+    symbols and ``pb`` pattern symbols at a fixed penalty, counting as one
+    substitution-class edit. Because the trie is a tree, a
+    ``MappingTransition`` at node ``u = node_at(i)`` whose ``next`` equals
+    ``node_at(i + pb)`` applies to exactly that segment of the field's path
+    — so every mapping the oracle can take along a root-to-output path
+    becomes one static DP arrival ``(row i+pb, col j) <- (row i, col j-ha)``.
+
+    ``maps`` is the static structure handed to ``_banded_dp``:
+    a tuple of ``(i_to, pb, drift, hay_cls, penalty, fields)`` entries with
+    ``drift = ha - pb`` (|drift| <= 1 keeps the band width at 2E+1).
+    ``k`` is the packed-scan budget: every edit costs at most
+    ``max(2, max(pb, ha))`` unit bitap errors (swap = 2, mapping =
+    max(pb, ha): min(pb,ha) substitutions + |drift| indels), and the
+    threshold-derived ``k_for`` is unsound here because a score-1.0 mapping
+    has penalty 0 — so ``k = E * cmax`` from the edit budget alone.
+    """
+
+    __slots__ = ("maps", "k", "ph")
+
+    def __init__(self, maps, k, ph):
+        self.maps = maps
+        self.k = k
+        self.ph = ph
+
+    @staticmethod
+    def build(engine) -> Optional["MappedSpec"]:
+        from .packed_bitap import packed_fuzzy_of
+
+        if not engine.mappings:
+            return None
+        E = engine.max_edits_fast
+        if not 1 <= E <= 6:
+            return None
+        dense = engine.dense
+        if dense.has_multibyte_edges:
+            # Exact transitions under mappings follow single-byte edges only
+            # on the ASCII path / full-grapheme equality otherwise
+            # (src/structs.rs:499-519); the class model matches the oracle
+            # only when every edge is a single ASCII char.
+            return None
+        vf = verify_fields_of(engine)
+        if vf is None or vf.max_depth > MAPPED_LMAX:
+            return None
+        pk = packed_fuzzy_of(engine)
+        if pk is None:
+            return None
+
+        nodes = engine.nodes
+        cmax = 2  # swap costs 2 unit bitap errors (reference prefilter.rs:174-183)
+        grouped: dict[tuple, list] = {}
+        for fi in range(vf.num_fields):
+            d = int(vf.depth[fi])
+            path_node = vf.path_node[fi]
+
+            def node_at(i: int) -> int:
+                return 0 if i == 0 else int(path_node[i - 1])
+
+            for i in range(d):
+                mts = engine.mappings.get(node_at(i))
+                if not mts:
+                    continue
+                for mt in mts:
+                    pb = nodes[mt.next].depth - nodes[node_at(i)].depth
+                    if pb < 1 or i + pb > d or node_at(i + pb) != mt.next:
+                        continue
+                    if any(len(g) != 1 for g in mt.haystack):
+                        # Multi-char haystack graphemes can never occur under
+                        # the lane's haystack gate (all graphemes 1 code
+                        # point) — the entry is statically unmatchable.
+                        continue
+                    ha = len(mt.haystack)
+                    drift = ha - pb
+                    if pb > MAPPED_PB_MAX or abs(drift) > 1:
+                        return None  # whole engine declines -> oracle
+                    hay_cls = tuple(dense.char_class.get(g, 0) for g in mt.haystack)
+                    if 0 in hay_cls:
+                        return None  # defensive: dense must class every hay char
+                    key = (i + pb, pb, drift, hay_cls, float(np.float32(mt.penalty)))
+                    grouped.setdefault(key, []).append(fi)
+        maps = tuple(
+            (i_to, pb, drift, hay_cls, pen, tuple(sorted(set(fields))))
+            for (i_to, pb, drift, hay_cls, pen), fields in sorted(grouped.items())
+        )
+        k = E * max(cmax, max(
+            (max(pb, pb + drift) for _t, pb, drift, _h, _p, _f in maps),
+            default=1,
+        ))
+        from ..prefilter import MAX_USEFUL_K
+
+        if k > MAX_USEFUL_K:
+            return None
+        ph = max([2] + [pb for _t, pb, _d, _h, _p, _f in maps])
+        return MappedSpec(maps, k, ph)
+
+
+def mapped_spec_of(engine) -> Optional[MappedSpec]:
+    ms = getattr(engine, "_mapped_spec_cache", None)
+    if ms is None:
+        ms = MappedSpec.build(engine)
+        engine._mapped_spec_cache = ms if ms is not None else False
+    return ms if ms is not False else None
+
+
+# ---------------------------------------------------------------------------
 # DP core (traceable)
 # ---------------------------------------------------------------------------
 
@@ -164,6 +283,7 @@ def _banded_dp(
     deadend=False,
     sb_edge_flat=None,
     out_count_arr=None,
+    MAPS=None,
 ):
     """Banded Damerau DP over candidates.
 
@@ -213,6 +333,19 @@ def _banded_dp(
     F = depth_arr.shape[0]
     npad = ids_pad.shape[0]
     INF = jnp.float32(np.inf)
+
+    # Mapping arrivals (static, unrolled path only — see MappedSpec): row
+    # history depth PH covers the deepest pattern-side walk. MAPS entries
+    # grouped by target row for O(1) lookup per unrolled row.
+    PH = 2
+    maps_by_row: dict = {}
+    if MAPS:
+        for (i_to, pb, drift, hay_cls, mpen, fields) in MAPS:
+            PH = max(PH, pb)
+            maps_by_row.setdefault(i_to, []).append(
+                (pb, drift, hay_cls, mpen, fields)
+            )
+        assert Lmax <= 24, "mapped DP requires the unrolled path"
 
     f = jnp.maximum(cand_field, 0)
     alive_c = cand_field >= 0
@@ -379,13 +512,17 @@ def _banded_dp(
         take = op < bp
         return jnp.where(take, op, bp), jnp.where(take, oc, bc)
 
-    def step_body(carry, i, pc, pc_prev, ceil_i, winrow, simrow, okrow=None):
+    def step_body(carry, i, pc, pc_prev, ceil_i, winrow, simrow, okrow=None,
+                  maps_row=()):
         """One DP row. ``i`` may be a python int (unrolled) or a traced
         scalar (lax.scan); ``winrow``/``simrow``/``okrow`` index like
         sequences. ``okrow[b]`` (when the dead-end filter is on) rescues an
-        edit move into the final edit level at band ``b``."""
-        (prev2_pen, prev2_cnt, prev_pen, prev_cnt,
-         preve_pen, preve_cnt, emit_pen, emit_cnt) = carry
+        edit move into the final edit level at band ``b``. ``maps_row``
+        (static; unrolled path only) lists the mapping arrivals targeting
+        this row — see :class:`MappedSpec`."""
+        (hist, preve_pen, preve_cnt, emit_pen, emit_cnt) = carry
+        prev_pen, prev_cnt = hist[0]      # row i-1
+        prev2_pen, prev2_cnt = hist[1]    # row i-2
         row_live = alive_c & (i <= dpth)
 
         cons_pen, cons_cnt = grid_init()   # consuming arrivals (diag/swap)
@@ -442,6 +579,52 @@ def _banded_dp(
                 new_pen[b][e] = bp
                 new_cnt[b][e] = bc
 
+        # Mapping arrivals (src/search.rs:883-923): (row i-pb, col j-ha) ->
+        # (row i, col j) consuming ``ha`` haystack symbols that must equal
+        # the mapping's haystack classes (dedicated classes = char identity,
+        # ops/dense.py), at a fixed penalty, counting one substitution-class
+        # edit. Consuming move: merges into BOTH the continuation channel
+        # (so insertions/deletions can follow) and the emission channel.
+        # Guard matches the oracle: new_pen > max_penalties at push time.
+        for (pb, drift, hay_cls, mpen, fields) in maps_row:
+            if i - pb < 0:
+                continue
+            src_pen_g, src_cnt_g = hist[pb - 1]   # row i - pb
+            ha = len(hay_cls)
+            fm = jnp.zeros((M,), jnp.bool_)
+            for fid in fields:
+                fm = fm | (cand_field == fid)
+            mp = jnp.float32(mpen)
+            for b in range(B):
+                b_src = b - drift
+                if not 0 <= b_src < B:
+                    continue
+                j = i + (b - E)
+                if j < ha:
+                    continue  # would consume symbols before the match start
+                ok_m = fm
+                for t in range(ha):
+                    # symbol consumed at column j-ha+1+t -> window offset
+                    # i + b + 1 - ha + t (out-of-text reads -1, never a
+                    # dedicated class >= 1).
+                    ok_m = ok_m & (
+                        win_rows[i + b + 1 - ha + t] == jnp.int32(hay_cls[t])
+                    )
+                for e in range(NE - 1, 0, -1):
+                    q_pen = src_pen_g[b_src][e - 1]
+                    ok_e = (
+                        ok_m & jnp.isfinite(q_pen)
+                        & ~((q_pen + mp) > max_pen)
+                    )
+                    val = q_pen + mp
+                    cntv = src_cnt_g[b_src][e - 1] + 0x1_0000
+                    cons_pen[b][e], cons_cnt[b][e] = merge(
+                        cons_pen[b][e], cons_cnt[b][e], val, cntv, ok_e
+                    )
+                    new_pen[b][e], new_cnt[b][e] = merge(
+                        new_pen[b][e], new_cnt[b][e], val, cntv, ok_e
+                    )
+
         # insertion: same row, (b-1, e-1) -> b — consume hc only, ascending b
         # (src/search.rs:994-1029). Forbidden from cells with zero hay
         # consumed (the nothing-matched-yet rule): source col j-1 >= 1.
@@ -493,11 +676,17 @@ def _banded_dp(
             for e in range(NE):
                 emit_pen[b][e] = jnp.where(emit_here, newe_pen[b][e], emit_pen[b][e])
                 emit_cnt[b][e] = jnp.where(emit_here, newe_cnt[b][e], emit_cnt[b][e])
-        return (prev_pen, prev_cnt, new_pen, new_cnt,
-                newe_pen, newe_cnt, emit_pen, emit_cnt)
+        hist_new = ((new_pen, new_cnt),) + hist[: PH - 1]
+        return (hist_new, newe_pen, newe_cnt, emit_pen, emit_cnt)
 
     epen0, ecnt0 = grid_init()
-    init = (pen_m1, cnt_m1, pen0, cnt0, pen_e0, cnt_e0, epen0, ecnt0)
+    # History: hist[0] = previous row, ..., hist[PH-1] = PH rows back.
+    # Row 0 is the DP origin; negative rows are all-dead.
+    hist0 = ((pen0, cnt0), (pen_m1, cnt_m1))
+    while len(hist0) < PH:
+        dead_p, dead_c = grid_init()
+        hist0 = hist0 + ((dead_p, dead_c),)
+    init = (hist0, pen_e0, cnt_e0, epen0, ecnt0)
     if Lmax <= 24:
         # Unrolled: static row indexing, and XLA fuses across DP rows —
         # a lax.scan body dispatches its fused kernels once per row, and
@@ -517,6 +706,7 @@ def _banded_dp(
             carry = step_body(
                 carry, i, pcls_T[i - 1], pcls_T[max(i - 2, 0)],
                 ceil_T[i - 1], winrow, simrow, okrow,
+                maps_row=tuple(maps_by_row.get(i, ())),
             )
     else:
         win = jnp.stack(win_rows, axis=0)                      # [WLEN, M]
@@ -541,7 +731,7 @@ def _banded_dp(
             return step_body(carry, i, pc, pc_prev, ceil_i, winrow, simrow, okrow), None
 
         carry, _ = jax.lax.scan(step, init, jnp.arange(1, Lmax + 1, dtype=jnp.int32))
-    emit_pen, emit_cnt = carry[6], carry[7]
+    emit_pen, emit_cnt = carry[3], carry[4]
     # [B*NE, M] (candidate axis last; callers index rows b * NE + e).
     pen_flat = jnp.stack([emit_pen[b][e] for b in range(B) for e in range(NE)])
     cnt_flat = jnp.stack([emit_cnt[b][e] for b in range(B) for e in range(NE)])
@@ -1042,6 +1232,7 @@ def _emit_rows_typed(
         "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
         "KH", "CAND", "KG", "E", "Lmax", "C", "MO",
         "BITS", "P2F", "DEPTHS", "DEADEND", "TYPED", "STAGE", "CONSTS",
+        "MAPS",
     ),
 )
 def _dp_pipeline_jit(
@@ -1061,6 +1252,7 @@ def _dp_pipeline_jit(
     TYPED=None,
     STAGE=3,
     CONSTS=None,
+    MAPS=None,
 ):
     """Whole DP-verified fuzzy search as one dispatch; single int32 result
     buffer, 12 bytes per emission (see :func:`_pack_rows`):
@@ -1109,6 +1301,7 @@ def _dp_pipeline_jit(
             deadend=DEADEND,
             sb_edge_flat=sb_edge_flat,
             out_count_arr=out_count_arr,
+            MAPS=MAPS,
         )                                         # [B*NE, M] each
         if STAGE == 2:
             return _early(
@@ -1304,12 +1497,14 @@ def _emit_rows(
 
 
 def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
-                    typed: Optional["TypedSpec"] = None) -> Optional[List]:
+                    typed: Optional["TypedSpec"] = None,
+                    maps: Optional["MappedSpec"] = None) -> Optional[List]:
     """DP-verified fuzzy search (packed-prefilter eligible); None when not
     applicable — the caller falls back (beam kernels for FAST configs, the
     oracle for typed ones). Oracle-identical matches. ``typed`` switches the
     DP to type-vector channels for per-type / per-pattern limit configs
-    (see :class:`TypedSpec`)."""
+    (see :class:`TypedSpec`); ``maps`` adds mapping arrivals for mapped
+    engines (see :class:`MappedSpec` — mutually exclusive with ``typed``)."""
     from ..structs import FuzzyMatch
     from ..utils import device_corpus
     from .packed_bitap import (
@@ -1331,12 +1526,18 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     vf = verify_fields_of(engine)
     if vf is None:
         return None
-    ks = []
-    for bp in pk.filt.patterns:
-        kq = pk.filt.k_for(bp, thr)
-        if kq is None:
-            return None
-        ks.append(kq)
+    if maps is not None:
+        # Edit-count-based uniform budget: the threshold-derived k_for is
+        # unsound for mapped engines (a score-1.0 mapping has penalty 0 but
+        # costs up to max(pb, ha) unit bitap errors) — see MappedSpec.
+        ks = [maps.k] * len(pk.filt.patterns)
+    else:
+        ks = []
+        for bp in pk.filt.patterns:
+            kq = pk.filt.k_for(bp, thr)
+            if kq is None:
+                return None
+            ks.append(kq)
     match, init, k = pk.fuzzy_masks(ks)
     halo = pk.m_max + k
     from .packed_bitap import scan_consts
@@ -1489,6 +1690,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
                 TYPED=TYPED,
                 STAGE=_stage,
                 CONSTS=SCAN_CONSTS,
+                MAPS=maps.maps if maps is not None else None,
         )
         if _timing:
             out_dev = jax.block_until_ready(out_dev)
@@ -1560,7 +1762,11 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
             f"emissions={total} matches={len(results)}"
         )
     engine.last_stats = {
-        "backend": "device-fuzzy-dp" if typed is None else "device-fuzzy-dp-typed",
+        "backend": (
+            "device-fuzzy-dp-typed" if typed is not None
+            else "device-fuzzy-dp-mapped" if maps is not None
+            else "device-fuzzy-dp"
+        ),
         "hits": count_h,
         "candidates": cand_count,
         "positions": int(n),
@@ -1585,6 +1791,32 @@ def fuzzy_search_typed_device(engine, haystack: str, threshold) -> List:
     if n == 0:
         return []
     res = fuzzy_search_dp(engine, haystack, threshold, view, n, typed=spec)
+    if res is None:
+        return oracle.search_raw(engine, haystack, threshold)
+    return res
+
+
+def fuzzy_search_mapped_device(engine, haystack: str, threshold) -> List:
+    """Device search for mapped engines (the reference serves mappings
+    inside its hot loop, src/search.rs:883-923); falls back to the host
+    oracle when the packed model declines (unselective scan, oversized
+    corpus) or the haystack contains multi-code-point graphemes (the class
+    model's identity guarantee needs 1-code-point graphemes — see
+    MappedSpec)."""
+    from .. import oracle
+    from ..utils.graphemes import view_of
+
+    spec = mapped_spec_of(engine)
+    assert spec is not None, "caller must gate on mapped_spec_of"
+    view = view_of(haystack, engine.case_insensitive)
+    n = len(view)
+    if n == 0:
+        return []
+    # Haystack gate: every grapheme one code point (ASCII is trivially so);
+    # grapheme count == code-point count is an O(1) exact test.
+    if not haystack.isascii() and n != len(haystack):
+        return oracle.search_raw(engine, haystack, threshold)
+    res = fuzzy_search_dp(engine, haystack, threshold, view, n, maps=spec)
     if res is None:
         return oracle.search_raw(engine, haystack, threshold)
     return res

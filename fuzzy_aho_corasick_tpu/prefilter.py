@@ -64,10 +64,17 @@ class BitapFilter:
         self.ascii_id = np.zeros(256, dtype=np.uint8)
 
     @staticmethod
-    def build(engine) -> Optional["BitapFilter"]:
+    def build(engine, allow_mappings: bool = False) -> Optional["BitapFilter"]:
         """Try to build a filter; ``None`` when the config isn't reducible
-        (reference src/prefilter.rs:161-245)."""
-        if engine.mappings or not engine.patterns():
+        (reference src/prefilter.rs:161-245).
+
+        ``allow_mappings`` lifts the mapping rejection for the device DP
+        lane only (ops/packed_bitap.PackedFuzzy): the threshold-derived
+        ``k_for`` budget stays mapping-unsound there (a score-1.0 mapping
+        has penalty 0), so that caller substitutes its own edit-count-based
+        budget (ops/verify_dp.MappedSpec.k). The public ``Prefiltered``
+        keeps the reference's rejection."""
+        if (engine.mappings and not allow_mappings) or not engine.patterns():
             return None
 
         p = engine.penalties

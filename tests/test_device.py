@@ -137,14 +137,26 @@ def test_fuzzy_device_fuzz():
 
 def test_device_eligibility_fallbacks():
     """Configs outside the kernel envelope must quietly use the oracle."""
+    # Mapped engines with single-byte tries now take the mapped DP lane
+    # (ops/verify_dp.MappedSpec); results stay oracle-identical.
     mapped = (
         FuzzyAhoCorasickBuilder.new()
         .fuzzy(FuzzyLimits.new().edits(1))
         .mapping("ae", "æ")
         .build(["caesar"])
     )
-    assert not mapped._device_engine().supports("caesar")
+    assert mapped._device_engine()._mapped_ok
+    assert mapped._device_engine().supports("caesar")
     assert len(mapped.search("cæsar", SearchOptions.new().with_threshold(0.9))) == 1
+    # ... but a multi-byte trie edge (non-ASCII pattern char) declines.
+    mapped_mb = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .mapping("ae", "æ")
+        .build(["cæsar"])
+    )
+    assert not mapped_mb._device_engine().supports("caesar")
+    assert len(mapped_mb.search("caesar", SearchOptions.new().with_threshold(0.9))) == 1
 
     # Per-type caps now take the typed device path (ops/verify_dp.TypedSpec)
     # rather than falling back to the oracle.
