@@ -141,14 +141,117 @@ def search_host_shard(
     return out
 
 
-def search_multihost(engine, corpus: bytes, threshold: float, n_hosts: int, mesh=None):
-    """Reference driver for the per-process flow, runnable single-process:
-    every logical host executes :func:`search_host_shard` on its slice and
-    the result lists concatenate (on a real pod each process computes its
-    own list and the caller all-gathers them over DCN, e.g. with
-    ``jax.experimental.multihost_utils.process_allgather``)."""
+#: Gathered match row layout: [start, end, pattern_index, sim_bits, counts].
+_ROW_COLS = 5
+
+
+def _encode_matches(matches) -> np.ndarray:
+    rows = np.zeros((len(matches), _ROW_COLS), dtype=np.int64)
+    for i, m in enumerate(matches):
+        counts = (
+            (m.insertions & 0xFF)
+            | ((m.deletions & 0xFF) << 8)
+            | ((m.substitutions & 0xFF) << 16)
+            | ((m.swaps & 0xFF) << 24)
+        )
+        rows[i] = (
+            m.start,
+            m.end,
+            m.pattern_index,
+            int(np.float32(m.similarity).view(np.int32)),
+            counts,
+        )
+    return rows
+
+
+def _decode_matches(engine, corpus: Optional[bytes], rows: np.ndarray):
+    from ..structs import FuzzyMatch
+
+    out = []
+    for start, end, p, sim_bits, counts in rows:
+        start, end, p = int(start), int(end), int(p)
+        text = ""
+        if corpus is not None and 0 <= start <= end <= len(corpus):
+            text = corpus[start:end].decode("utf-8", errors="replace")
+        ins = int(counts) & 0xFF
+        dels = (int(counts) >> 8) & 0xFF
+        subs = (int(counts) >> 16) & 0xFF
+        swaps = (int(counts) >> 24) & 0xFF
+        out.append(
+            FuzzyMatch(
+                insertions=ins, deletions=dels, substitutions=subs,
+                swaps=swaps, edits=ins + dels + subs + swaps,
+                pattern_index=p, pattern=engine._patterns[p],
+                start=start, end=end,
+                similarity=np.int32(int(sim_bits)).view(np.float32),
+                text=text,
+            )
+        )
+    return out
+
+
+def _allgather_rows(rows: np.ndarray) -> np.ndarray:
+    """All-gather variable-length match rows across processes over the
+    distributed runtime (DCN on a pod; TCP on the CPU test fixture). Counts
+    gather first, then rows padded to the max — the ordered fan-in that
+    mirrors the reference's seq-tagged reassembly (src/stream.rs:603-630)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray([rows.shape[0]], np.int64))
+    ).reshape(-1)
+    cap = max(1, int(counts.max()))
+    padded = np.zeros((cap, _ROW_COLS), dtype=np.int64)
+    padded[: rows.shape[0]] = rows
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(jax.process_count(), cap, _ROW_COLS)
+    return np.concatenate(
+        [gathered[h, : int(counts[h])] for h in range(gathered.shape[0])], axis=0
+    )
+
+
+def search_multihost(
+    engine, corpus: bytes, threshold: float, n_hosts: Optional[int] = None,
+    mesh=None,
+):
+    """Multi-host search driver.
+
+    Under an initialized multi-process runtime (:func:`initialize`,
+    ``jax.process_count() > 1``) each process searches ONLY its own host
+    shard and the per-host match rows all-gather over the distributed
+    backend — every process returns the identical, complete, sorted match
+    list. Single-process, it iterates the logical host shards sequentially
+    (the same per-shard code path a real launch takes per process).
+
+    ``corpus``: this process's view of the input. The gather needs only the
+    local slice to *search*; spans outside it decode with ``text = ""``
+    when the full corpus bytes aren't locally available.
+    """
+    import jax
+
     overlap = (engine.stream_overlap() + 1) * 4
-    plan = HostShardPlan(len(corpus), n_hosts, overlap)
+    nproc = jax.process_count()
+    if nproc > 1:
+        if mesh is None:
+            # Per-host chip mesh: this process's ADDRESSABLE devices only —
+            # collectives inside the shard search ride ICI within the host;
+            # the only cross-host traffic is the result gather below (DCN).
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+        plan = HostShardPlan(len(corpus), nproc, overlap)
+        shard = plan.shard(jax.process_index())
+        local: List = []
+        if shard.own_start < shard.own_end:
+            data = corpus[shard.read_start : shard.read_end]
+            local = search_host_shard(engine, data, shard, threshold, mesh)
+        rows = _allgather_rows(_encode_matches(local))
+        out = _decode_matches(engine, corpus, rows)
+        out.sort(key=lambda m: (m.start, m.end, m.pattern_index))
+        return out
+
+    plan = HostShardPlan(len(corpus), n_hosts if n_hosts else 1, overlap)
     out = []
     for shard in plan.shards():
         if shard.own_start >= shard.own_end:

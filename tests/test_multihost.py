@@ -2,6 +2,7 @@
 must equal the whole-input search (SURVEY §5 distributed backend row;
 the single-process form of one pod process's code path)."""
 
+import os
 import numpy as np
 
 from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
@@ -74,3 +75,95 @@ def test_multihost_unicode_boundary_alignment():
     got = search_multihost(engine, corpus, 0.8, 3, default_mesh())
     assert sorted(map(key, got)) == truth
     assert len(truth) >= 40
+
+
+# ---------------------------------------------------------------------------
+# Real 2-process distributed run (VERDICT r2 item 5): jax.distributed on CPU
+# ---------------------------------------------------------------------------
+
+_WORKER = r"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, sys.argv[4])
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
+from fuzzy_aho_corasick_tpu.parallel import multihost
+
+port, nproc, pid, repo = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+got_pid = multihost.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+)
+assert got_pid == pid == jax.process_index(), (got_pid, pid, jax.process_index())
+assert jax.process_count() == nproc
+
+engine = (
+    FuzzyAhoCorasickBuilder.new()
+    .fuzzy(FuzzyLimits.new().edits(1))
+    .case_insensitive(True)
+    .build(["needle", "pattern"])
+)
+corpus = (("filler " * 97) + "needle " + ("words " * 83) + "pattren ").encode() * 40
+ms = multihost.search_multihost(engine, corpus, 0.8)
+rows = [
+    (m.start, m.end, m.pattern_index, float(m.similarity), m.edits, m.text)
+    for m in ms
+]
+print("RESULT " + json.dumps(rows))
+"""
+
+
+def test_two_process_distributed_allgather(tmp_path):
+    """Launch 2 OS processes under jax.distributed (local coordinator);
+    each searches only its host shard; the in-driver all-gather must hand
+    BOTH processes the identical, complete match list, equal to the
+    single-process oracle on the whole corpus."""
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    # Free port for the coordinator.
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, str(script), str(port), "2", str(pid), repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out
+        outs.append(json.loads(lines[-1][len("RESULT "):]))
+
+    # Both processes returned the identical gathered list.
+    assert outs[0] == outs[1]
+
+    # And it equals the single-process whole-corpus search.
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["needle", "pattern"])
+    )
+    corpus = (("filler " * 97) + "needle " + ("words " * 83) + "pattren ").encode() * 40
+    expect = sorted(
+        (m.start, m.end, m.pattern_index, float(m.similarity), m.edits, m.text)
+        for m in engine.search_raw(corpus.decode(), 0.8)
+    )
+    got = sorted(tuple(r) for r in outs[0])
+    assert got == [tuple(e) for e in expect]
