@@ -748,6 +748,9 @@ def _banded_dp(
 # ---------------------------------------------------------------------------
 
 _CAP_BIG = 255
+#: Most type-vector channels the typed DP compiles (E=4 all-free needs 70;
+#: tighter per-type caps keep higher budgets under this too).
+MAX_TYPED_CHANNELS = 96
 
 
 def _caps_of(lim) -> tuple:
@@ -797,11 +800,16 @@ class TypedSpec:
             return None
         totals = [_total_of(l) for l in lims]
         E = max(totals)
-        if not (1 <= E <= 3):
-            return None  # channel count grows ~E^4; beyond 3 the oracle serves
+        if not (1 <= E <= 6):
+            return None  # matches the FAST-path ceiling; beyond, oracle serves
         caps = [_caps_of(l) for l in lims]
         loose = tuple(max(c[i] for c in caps) for i in range(5))
-        # Feasible vectors under the loosest applicable caps.
+        # Feasible vectors under the loosest applicable caps. The channel
+        # count grows ~E^4 unconstrained (E=4 all-free -> 70, E=6 -> 210);
+        # per-type caps prune it (edits(6).substitutions(1).swaps(0) -> 49),
+        # and MAX_TYPED_CHANNELS bounds kernel size — past it the oracle
+        # serves (reference general path src/search.rs:87-169 has no such
+        # bound, but also no exhaustive-channel representation).
         vecs = []
         for i in range(min(E, loose[1]) + 1):
             for d in range(min(E, loose[2]) + 1):
@@ -809,6 +817,8 @@ class TypedSpec:
                     for w in range(min(E, loose[4]) + 1):
                         if i + d + su + w <= min(E, loose[0]):
                             vecs.append((i, d, su, w))
+        if len(vecs) > MAX_TYPED_CHANNELS:
+            return None
         vecs.sort(key=lambda v: (sum(v), v))
         index = {v: c for c, v in enumerate(vecs)}
         spec = TypedSpec()

@@ -204,6 +204,7 @@ def _shard_fuzzy_layout(shard_len: int, halo: int, margin: int, W: int):
 def make_sharded_fuzzy_step(
     engine, mesh: Mesh, shard_len: int, n: int, threshold,
     KH: int, CAND: int, KG: int,
+    typed=None, maps=None,
 ):
     """Build a jitted shard_map fuzzy DP-search step over ``mesh``.
 
@@ -229,7 +230,9 @@ def make_sharded_fuzzy_step(
     from ..ops.packed_bitap import packed_fuzzy_of, _bcast, packed_hits
     from ..ops.verify_dp import (
         _banded_dp,
+        _banded_dp_typed,
         _emit_rows,
+        _emit_rows_typed,
         _expand_candidates,
         verify_fields_of,
     )
@@ -239,8 +242,12 @@ def make_sharded_fuzzy_step(
     vf = verify_fields_of(engine)
     dense = engine.dense
     pens = engine.penalties
-    E = engine.max_edits_fast
-    ks = [pk.filt.k_for(bp, thr) for bp in pk.filt.patterns]
+    E = engine.max_edits_fast if typed is None else typed.E
+    if maps is not None:
+        # Edit-count-based scan budget (see ops/verify_dp.MappedSpec).
+        ks = [maps.k] * len(pk.filt.patterns)
+    else:
+        ks = [pk.filt.k_for(bp, thr) for bp in pk.filt.patterns]
     match, init, k = pk.fuzzy_masks(ks)
     halo = pk.m_max + k
     Lmax = vf.max_depth
@@ -276,6 +283,9 @@ def make_sharded_fuzzy_step(
     ceil_d = jnp.asarray(ceil)
     sbe_d = jnp.asarray(dense.sb_edge.reshape(-1))
     ocnt_d = jnp.asarray(dense.out_count)
+    if typed is not None:
+        ncaps_d = jnp.asarray(np.ascontiguousarray(typed.node_caps.reshape(-1)))
+        limcls_d = jnp.asarray(typed.limcls)
 
     def shard_body(ids_pf_local, ids_dn_local):
         axi = jax.lax.axis_index("data")
@@ -311,22 +321,41 @@ def make_sharded_fuzzy_step(
             pos, words, start_lo, start_hi, limit_ext,
             E, CAND, bits, p2f, depths,
         )
-        pen_flat, cnt_flat = _banded_dp(
-            cand_field, cand_start, pcls_d, pnode_d, dep_d,
-            ids_dn_ext, limit_ext, sim_d, ceil_d,
-            max_pen, pens.substitution, pens.insertion, pens.deletion,
-            pens.swap, engine.min_symbol_similarity,
-            E, Lmax, dense.num_classes,
-            lo=lo_ext,
-            deadend=dense.has_multibyte_edges,
-            sb_edge_flat=sbe_d,
-            out_count_arr=ocnt_d,
-        )
-        total, rows = _emit_rows(
-            pen_flat, cnt_flat, cand_field, cand_start,
-            dep_d, node_d, olist_d, plen_d, pw_d,
-            limit_ext, thr, E, dense.max_out, CAND, KG,
-        )
+        if typed is None:
+            pen_flat, cnt_flat = _banded_dp(
+                cand_field, cand_start, pcls_d, pnode_d, dep_d,
+                ids_dn_ext, limit_ext, sim_d, ceil_d,
+                max_pen, pens.substitution, pens.insertion, pens.deletion,
+                pens.swap, engine.min_symbol_similarity,
+                E, Lmax, dense.num_classes,
+                lo=lo_ext,
+                deadend=dense.has_multibyte_edges,
+                sb_edge_flat=sbe_d,
+                out_count_arr=ocnt_d,
+                MAPS=maps.maps if maps is not None else None,
+            )
+            total, rows = _emit_rows(
+                pen_flat, cnt_flat, cand_field, cand_start,
+                dep_d, node_d, olist_d, plen_d, pw_d,
+                limit_ext, thr, E, dense.max_out, CAND, KG,
+            )
+        else:
+            pen_flat = _banded_dp_typed(
+                cand_field, cand_start, pcls_d, pnode_d, dep_d, ncaps_d,
+                ids_dn_ext, limit_ext, sim_d, ceil_d,
+                max_pen, pens.substitution, pens.insertion, pens.deletion,
+                pens.swap, engine.min_symbol_similarity,
+                E, Lmax, dense.num_classes,
+                TYPED=(typed.vecs, typed.sub_src, typed.ins_src,
+                       typed.del_src, typed.swap_src, typed.root_caps),
+                lo=lo_ext,
+            )
+            total, rows = _emit_rows_typed(
+                pen_flat, cand_field, cand_start,
+                dep_d, node_d, olist_d, plen_d, pw_d, limcls_d,
+                limit_ext, thr, E, dense.max_out, CAND, KG,
+                TYPED_EMIT=(typed.vecs, typed.cnts, typed.adm),
+            )
         gtotal = jax.lax.psum(total, "data")
         # Two 3-wide header rows (emission rows are 12-byte packed,
         # ops/verify_dp._pack_rows): [count_h, cand_count, total] then
@@ -362,7 +391,12 @@ def sharded_fuzzy_search(
     src/stream.rs:378-429)."""
     from ..ops.emit import decode_matches
     from ..ops.packed_bitap import packed_fuzzy_of
-    from ..ops.verify_dp import _fine_cap, verify_fields_of
+    from ..ops.verify_dp import (
+        _fine_cap,
+        mapped_spec_of,
+        typed_spec_of,
+        verify_fields_of,
+    )
     from ..utils.graphemes import HaystackView
 
     if mesh is None:
@@ -372,11 +406,31 @@ def sharded_fuzzy_search(
 
     pk = packed_fuzzy_of(engine)
     vf = verify_fields_of(engine)
-    if pk is None or vf is None or not (1 <= engine.max_edits_fast <= 6):
+    if pk is None or vf is None:
         return None
-    for bp in pk.filt.patterns:
-        if pk.filt.k_for(bp, thr) is None:
+    typed = None
+    maps = None
+    if 1 <= engine.max_edits_fast <= 6:
+        if engine.mappings:
+            maps = mapped_spec_of(engine)
+            if maps is None:
+                return None
+            # Haystack gate (see fuzzy_search_mapped_device): every grapheme
+            # one code point, so class identity == char identity.
+            if not haystack.isascii() and len(
+                HaystackView(haystack, engine.case_insensitive)
+            ) != len(haystack):
+                return None
+    else:
+        if engine.mappings:
             return None
+        typed = typed_spec_of(engine)
+        if typed is None:
+            return None
+    if maps is None:
+        for bp in pk.filt.patterns:
+            if pk.filt.k_for(bp, thr) is None:
+                return None
 
     ceil0 = engine.prune_len_arr[0] - np.float32(
         engine.prune_len_over_weight_arr[0] * thr
@@ -422,12 +476,13 @@ def sharded_fuzzy_search(
     while True:
         sk = (
             tuple(d.id for d in mesh.devices.flat), shard_len, n, float(thr),
-            KH, CAND, KG,
+            KH, CAND, KG, typed is not None, maps is not None,
         )
         hit = steps.get(sk)
         if hit is None:
             hit = make_sharded_fuzzy_step(
-                engine, mesh, shard_len, n, thr, KH, CAND, KG
+                engine, mesh, shard_len, n, thr, KH, CAND, KG,
+                typed=typed, maps=maps,
             )
             steps[sk] = hit
         step, halo = hit

@@ -4,6 +4,7 @@ the single-process form of one pod process's code path)."""
 
 import os
 import numpy as np
+import pytest
 
 from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
 from fuzzy_aho_corasick_tpu.parallel.multihost import (
@@ -39,6 +40,7 @@ def test_align_utf8():
     assert align_utf8(data, 0) == 0
 
 
+@pytest.mark.slow
 def test_multihost_fuzzy_equals_whole_input():
     engine = (
         FuzzyAhoCorasickBuilder.new()

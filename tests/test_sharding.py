@@ -133,3 +133,47 @@ def test_sharded_fuzzy_edits2():
     assert got is not None
     assert sorted(key(m) for m in got) == truth
     assert len(truth) >= 60
+
+
+def test_sharded_typed_limits():
+    """Per-type caps on the multi-chip path (VERDICT r2 item 8): the typed
+    DP threads through make_sharded_fuzzy_step with oracle equality."""
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2).swaps(0))
+        .case_insensitive(True)
+        .build(["needle", "pattern"])
+    )
+    mesh = default_mesh(8)
+    text = ("pad words " * 13 + "nedle ") * 32 + ("x " * 5 + "pattrn ") * 8
+    ms = sharded_fuzzy_search(eng, text, 0.6, mesh)
+    assert ms is not None
+    eng.backend = "oracle"
+    truth = eng.search_raw(text, 0.6)
+    key = lambda l: sorted(
+        (m.start, m.end, m.pattern_index, float(m.similarity)) for m in l
+    )
+    assert key(ms) == key(truth)
+    assert len(ms) >= 32
+
+
+def test_sharded_mapped():
+    """Mapped engines on the multi-chip path: static DP arrivals thread
+    through the sharded step; needles planted across shard boundaries."""
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .mapping("ß", "ss")
+        .build(["strasse"])
+    )
+    mesh = default_mesh(8)
+    text = ("wort satz " * 11 + "straße ") * 24 + "strasse am ende"
+    ms = sharded_fuzzy_search(eng, text, 0.6, mesh)
+    assert ms is not None
+    eng.backend = "oracle"
+    truth = eng.search_raw(text, 0.6)
+    key = lambda l: sorted(
+        (m.start, m.end, m.pattern_index, float(m.similarity)) for m in l
+    )
+    assert key(ms) == key(truth)
+    assert sum(1 for m in ms if float(m.similarity) > 0.99 and "ß" in m.text) >= 24

@@ -8,6 +8,7 @@ against the host oracle.
 """
 
 import numpy as np
+import pytest
 
 from fuzzy_aho_corasick_tpu import (
     FuzzyAhoCorasickBuilder,
@@ -122,6 +123,7 @@ def test_typed_edit_breakdown_counts():
     compare(engine, hay, 0.5, k=key)
 
 
+@pytest.mark.slow
 def test_typed_threshold_sweep():
     engine = (
         FuzzyAhoCorasickBuilder.new()
@@ -134,6 +136,7 @@ def test_typed_threshold_sweep():
         compare(engine, hay, thr)
 
 
+@pytest.mark.slow
 def test_typed_differential_fuzz():
     """Randomized configs x haystacks vs the oracle (the reference's
     differential-fuzz pattern, prefilter.rs:437-562)."""
@@ -163,3 +166,54 @@ def test_typed_differential_fuzz():
         )
         thr = rng.choice([0.4, 0.6, 0.8])
         compare(engine, hay, thr)
+
+
+@pytest.mark.slow  # ~10 min XLA CPU compile of the 55-channel DP
+def test_typed_e4_with_sub_cap_device():
+    """edits(4).substitutions(1): E > 3 now serves from the device when the
+    per-type caps keep the channel count under MAX_TYPED_CHANNELS
+    (VERDICT r2 item 6; reference general path src/search.rs:87-169)."""
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(4).substitutions(1))
+        .case_insensitive(True)
+        .build(["pattern", "needle", "vestibulum"])
+    )
+    from fuzzy_aho_corasick_tpu.ops.verify_dp import typed_spec_of
+
+    spec = typed_spec_of(eng)
+    assert spec is not None and spec.E == 4 and len(spec.vecs) == 55
+    assert eng._device_engine()._typed_ok
+
+    rng = np.random.default_rng(5)
+    words = ["patern", "pattern", "needle", "nedle", "pttern",
+             "vstibulum", "filler", "der", "die"]
+    hay = " ".join(words[int(i)] for i in rng.integers(0, len(words), 60))
+    eng.backend = "device"
+    dv = eng.search_raw(hay, 0.55)
+    assert eng.last_stats["backend"] == "device-fuzzy-dp-typed"
+    eng.backend = "oracle"
+    orc = eng.search_raw(hay, 0.55)
+    key = lambda l: sorted(
+        (m.start, m.end, m.pattern_index, float(m.similarity)) for m in l
+    )
+    assert key(dv) == key(orc)
+
+
+def test_typed_e4_unconstrained_declines():
+    """A bare edits(4)... wait - that's the FAST path, not typed. A fully
+    per-type E=6 budget (i+d+s+w caps summing past the channel bound)
+    declines to the oracle, which stays correct."""
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().insertions(2).deletions(2)
+               .substitutions(2).swaps(2))
+        .case_insensitive(True)
+        .build(["pattern"])
+    )
+    from fuzzy_aho_corasick_tpu.ops.verify_dp import typed_spec_of
+
+    # 6^... caps (2,2,2,2) total 8 -> E=8 > 6 -> decline.
+    assert typed_spec_of(eng) is None
+    ms = eng.search_raw("the pattren and pttern here", 0.6)
+    assert len(ms) >= 2

@@ -60,7 +60,14 @@ def assert_dp_matches_oracle(engine, hay, thr, expect_backend="device-fuzzy-dp")
     assert len(o) > 0  # the corpus seeds real matches
 
 
-@pytest.mark.parametrize("edits,thr", [(1, 0.6), (2, 0.75), (3, 0.8)])
+@pytest.mark.parametrize(
+    "edits,thr",
+    [
+        (1, 0.6),
+        pytest.param(2, 0.75, marks=pytest.mark.slow),
+        pytest.param(3, 0.8, marks=pytest.mark.slow),
+    ],
+)
 def test_dp_differential_default_config(edits, thr):
     rng = np.random.default_rng(100 + edits)
     hay = make_corpus(rng, 20000, NEEDLES)
