@@ -45,15 +45,24 @@ class DeviceEngine:
         e = engine
         # Exact mode: no edit budget anywhere -> pure trie-walk kernel.
         self._exact_ok = _max_edit_budget(e) == 0 and not e.mappings
+        # Beam configs (beam_width / auto_beam) are the reference's *speed*
+        # knobs bounding the host BFS frontier (src/search.rs:578-589,
+        # 1096-1103). The device DP pipeline has no frontier to bound — its
+        # work is structurally bounded — so beamed engines are served by the
+        # EXACT DP lanes: bit-identical to the host below the auto-beam
+        # budget (where the reference itself is exact, tests.rs:866-917),
+        # and the exact superset of the beam-truncated result past it.
+        # Beam kernels with per-start oracle rescue are skipped for beamed
+        # engines (the rescue would mix beamed-host semantics in); the DP
+        # lane declining falls back to the (beamed) host oracle whole.
+        self._beamed = e.beam_width is not None or e.auto_beam is not None
         # Fuzzy fast-path mode: global total-edits budget 1..6, no per-pattern
-        # limits, no mappings, no beams (reference src/builder.rs:446-468
-        # fast-path conditions + device kernel restrictions).
+        # limits, no mappings (reference src/builder.rs:446-468 fast-path
+        # conditions + device kernel restrictions).
         self._fuzzy_ok = (
             1 <= e.max_edits_fast <= 6
             and not e.has_pattern_limits
             and not e.mappings
-            and e.beam_width is None
-            and e.auto_beam is None
             and not e.nodes[0].output  # no empty patterns
         )
         # Mapped mode: FAST budget + multi-char mappings served by the
@@ -65,8 +74,6 @@ class DeviceEngine:
             1 <= e.max_edits_fast <= 6
             and not e.has_pattern_limits
             and e.mappings
-            and e.beam_width is None
-            and e.auto_beam is None
             and not e.nodes[0].output
         ):
             from .verify_dp import mapped_spec_of
@@ -81,8 +88,6 @@ class DeviceEngine:
             and not self._fuzzy_ok
             and not self._mapped_ok
             and not e.mappings
-            and e.beam_width is None
-            and e.auto_beam is None
             and not e.nodes[0].output
         ):
             from .packed_bitap import packed_fuzzy_of
@@ -113,6 +118,21 @@ class DeviceEngine:
 
             return exact_search_device(self.engine, haystack, threshold)
         if self._fuzzy_ok:
+            if self._beamed:
+                # DP lane only (exact; see _beamed note). Decline -> the
+                # whole search falls to the beamed host oracle.
+                from .. import oracle
+                from ..utils.graphemes import view_of
+                from .verify_dp import fuzzy_search_dp
+
+                view = view_of(haystack, self.engine.case_insensitive)
+                n = len(view)
+                if n == 0:
+                    return []
+                res = fuzzy_search_dp(self.engine, haystack, threshold, view, n)
+                if res is None:
+                    return oracle.search_raw(self.engine, haystack, threshold)
+                return res
             from .fuzzy import fuzzy_search_device
 
             return fuzzy_search_device(self.engine, haystack, threshold)

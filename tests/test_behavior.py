@@ -499,7 +499,9 @@ def test_long_token_no_blowup_regression():
     t0 = time.time()
     result = engine.search(haystack, opts(0.8, greedy=True))
     elapsed = time.time() - t0
-    assert elapsed < 60, f"state-dedup regression: took {elapsed}s"
+    # Reference asserts < 2 s on Rust; the dedup + prune guards keep the
+    # host oracle at ~10 ms here, so 10 s is still a generous CI bound.
+    assert elapsed < 10, f"state-dedup regression: took {elapsed}s"
     assert any(m.pattern.as_str() == "JSC" for m in result)
 
 

@@ -181,3 +181,68 @@ def test_deterministic_stream():
     first_rep = replace_run()
     for _ in range(5):
         assert replace_run() == first_rep
+
+
+def test_deterministic_beam_device_backend():
+    """Beam configs with the device backend FORCED (VERDICT r2 item 4).
+
+    Beams bound the host BFS frontier; the device DP pipeline has no
+    frontier to bound, so it serves beamed engines with the EXACT result:
+    repeat-run bit-identical, equal to the unbeamed engine, and therefore
+    equal to the host oracle whenever the beam never truncates (the
+    reference is exact below the auto-beam budget, tests.rs:866-917).
+    """
+    pats = ["hello", "world", "help", "held", "shell", "yellow",
+            "algorithms", "automaton", "abbreviations"]
+    beamed = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .auto_beam(100, 500)
+        .build(pats)
+    )
+    exact = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2))
+        .build(pats)
+    )
+    beamed.backend = "device"
+    assert beamed._device_engine()._beamed
+    hay = "She sells sea shells; the yellow bird may helo the shelll"
+    for thr in (0.5, 0.7):
+        first = _tuples(beamed.search(
+            hay, SearchOptions.new().with_threshold(thr)))
+        for _ in range(3):
+            assert first == _tuples(beamed.search(
+                hay, SearchOptions.new().with_threshold(thr)))
+        # Device-beamed == exact (the DP ignores the beam, by design)...
+        # cross-backend comparisons sort (raw order is backend-specific).
+        assert sorted(first) == sorted(_tuples(exact.search(
+            hay, SearchOptions.new().with_threshold(thr))))
+        # ...and == the beamed host oracle here (width 500 never truncates
+        # on this family, so the oracle is exact too).
+        beamed.backend = "oracle"
+        assert sorted(first) == sorted(_tuples(beamed.search(
+            hay, SearchOptions.new().with_threshold(thr))))
+        beamed.backend = "device"
+
+
+def test_explicit_beam_width_device_backend():
+    """beam_width engines forced onto the device: deterministic and exact."""
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .beam_width(200)
+        .build(["needle", "pattern"])
+    )
+    eng.backend = "device"
+    hay = ("pad words " * 30) + "nedle and pattren here"
+    first = _tuples(eng.search(hay, SearchOptions.new().with_threshold(0.7)))
+    assert first  # finds the 1-edit needles
+    for _ in range(3):
+        assert first == _tuples(
+            eng.search(hay, SearchOptions.new().with_threshold(0.7))
+        )
+    eng.backend = "oracle"
+    assert sorted(first) == sorted(
+        _tuples(eng.search(hay, SearchOptions.new().with_threshold(0.7)))
+    )

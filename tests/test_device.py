@@ -168,13 +168,16 @@ def test_device_eligibility_fallbacks():
     assert per_type._device_engine()._typed_ok
     assert per_type._device_engine().supports("abc")
 
+    # Beamed engines are now served by the exact DP lanes on the device
+    # (beams bound the host frontier; the DP has none to bound).
     beamed = (
         FuzzyAhoCorasickBuilder.new()
         .fuzzy(FuzzyLimits.new().edits(1))
         .beam_width(10)
         .build(["abc"])
     )
-    assert not beamed._device_engine().supports("abc")
+    assert beamed._device_engine()._beamed
+    assert beamed._device_engine().supports("abc")
 
 
 def test_fuzzy_device_filtered_large_input():

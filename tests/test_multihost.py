@@ -61,6 +61,7 @@ def test_multihost_fuzzy_equals_whole_input():
     assert len(truth) > 200
 
 
+@pytest.mark.slow
 def test_multihost_unicode_boundary_alignment():
     """A host boundary landing inside a multi-byte code point must not break
     decode or ownership."""

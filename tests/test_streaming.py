@@ -1,6 +1,7 @@
 """Streaming equivalence: streaming APIs must equal whole-input search/replace
 on multi-window inputs (reference src/tests.rs:1059-1259)."""
 
+import pytest
 import io
 
 from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits, SearchOptions
@@ -177,6 +178,7 @@ def test_stream_io_error_propagates_once():
     assert list(it) == []
 
 
+@pytest.mark.slow
 def test_parallel_stream_identity_multibatch():
     """Parallel streaming must be byte/result-identical to sequential across
     multiple batches, including matches straddling window commits

@@ -80,6 +80,7 @@ def test_dp_differential_default_config(edits, thr):
     assert_dp_matches_oracle(eng, hay, thr)
 
 
+@pytest.mark.slow
 def test_dp_differential_custom_penalties():
     # Cheap ins+del vs one sub ties exercise the per-edit-count Pareto
     # channels (a min-penalty-only cell loses budget-limited scripts).
