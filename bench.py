@@ -52,6 +52,19 @@ os.environ.setdefault(
 
 
 def build_corpus(size_bytes: int) -> str:
+    # Disk-cached: the pure-Python generation loop costs ~50 s per 96 MiB
+    # and delays the headline measurement; the corpus is deterministic per
+    # size, so later runs (including the driver's) load it in ~1 s.
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".jax_cache", f"bench_corpus_{size_bytes}.txt",
+    )
+    try:
+        if os.path.exists(cache) and os.path.getsize(cache) >= size_bytes:
+            with open(cache, "r") as f:
+                return f.read()
+    except OSError:
+        pass
     rng = np.random.default_rng(42)
     filler_words = [
         "lorem", "ipsum", "dolor", "sit", "amet", "consectetur", "adipiscing",
@@ -66,7 +79,14 @@ def build_corpus(size_bytes: int) -> str:
             w = needles[int(rng.integers(len(needles)))]
         parts.append(w)
         size += len(w) + 1
-    return " ".join(parts)
+    corpus = " ".join(parts)
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "w") as f:
+            f.write(corpus)
+    except OSError:
+        pass
+    return corpus
 
 
 def run_extras(detail, corpus, fengine, dictionary):
@@ -153,6 +173,45 @@ def run_extras(detail, corpus, fengine, dictionary):
             _log(f"{name}: {sn / dt / 1e6:.0f} MB/s, {len(ms)} matches")
         except Exception as e:  # pragma: no cover - bench resilience
             detail[f"{name}_error"] = repr(e)
+
+    # Mapped-corpus device search (the mapped DP lane, ops/verify_dp
+    # MappedSpec): 24 MiB with multi-char mapping needles sprinkled in.
+    if budget_ok("mapped", 90.0):
+        try:
+            import re as _re
+
+            # ASCII OCR-style mapping (rn <-> m): "modem" matches pattern
+            # "modern" at similarity 1.0 through the mapped DP lane while
+            # the corpus keeps the ASCII fast transcode path. Every ~50th
+            # occurrence only — needle density comparable to the headline.
+            _ctr = [0]
+
+            def _sparse(mo):
+                _ctr[0] += 1
+                return "modem" if _ctr[0] % 50 == 0 else mo.group(0)
+
+            msub = _re.sub(r"\bcommodo\b", _sparse, sub)
+            sn_m = len(msub.encode())
+            meng2 = (
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(1))
+                .case_insensitive(True)
+                .mapping("rn", "m")
+                .build(dictionary + ["modern"])
+            )
+            meng2.backend = "device"
+            meng2.search_raw(msub, 0.8)  # warm
+            meng2.search_raw(msub, 0.8)  # cap ratchet-down may recompile once
+            t0 = time.time()
+            ms = meng2.search_raw(msub, 0.8)
+            dt = time.time() - t0
+            detail["mapped_bps"] = round(sn_m / dt)
+            detail["mapped_matches"] = len(ms)
+            detail["mapped_backend"] = meng2.last_stats.get("backend")
+            _log(f"mapped: {sn_m / dt / 1e6:.0f} MB/s, {len(ms)} matches "
+                 f"({meng2.last_stats.get('backend')})")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["mapped_error"] = repr(e)
 
     # 1k-pattern dictionary scan (seed-filter / packed lane).
     if budget_ok("many1k", 90.0):
@@ -253,6 +312,20 @@ def main():
     detail["fuzzy_bps"] = round(nbytes / fuzzy_s)
     detail["fuzzy_matches"] = len(m2)
     _log(f"fuzzy1: {nbytes / fuzzy_s / 1e6:.0f} MB/s, {len(m2)} matches")
+
+    # Stage budget (VERDICT r2 item 2): one extra FAC_TIME-instrumented
+    # search records dispatch (scan+expand+DP on device) / readback / decode
+    # into last_stats; stderr-only prints, headline timing unaffected.
+    try:
+        os.environ["FAC_TIME"] = "1"
+        fengine.search_raw(corpus, 0.8)
+        st = dict(fengine.last_stats)
+        for key in ("dispatch_ms", "readback_ms", "decode_ms", "result_buf_kib"):
+            if key in st:
+                detail[f"fuzzy_{key}"] = st[key]
+        _log(f"fuzzy1 stages: {({k: st.get(k) for k in ('dispatch_ms', 'readback_ms', 'decode_ms')})}")
+    finally:
+        os.environ.pop("FAC_TIME", None)
 
     combined = 2 * nbytes / (exact_s + fuzzy_s)
     result = {

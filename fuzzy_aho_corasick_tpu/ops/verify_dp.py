@@ -1708,10 +1708,13 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         buf = jax.device_get(out_dev)
         _t2 = _time.perf_counter()
         if _timing:
+            import sys as _sys
+
             print(
                 f"[FAC_TIME dp] dispatch={(_t1 - _t0) * 1e3:.1f}ms "
                 f"readback={(_t2 - _t1) * 1e3:.1f}ms "
-                f"buf={buf.nbytes >> 10}KiB KH={KH} CAND={CAND} KG={KG}"
+                f"buf={buf.nbytes >> 10}KiB KH={KH} CAND={CAND} KG={KG}",
+                file=_sys.stderr,
             )
         count_h, cand_count, total = int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
         grew = False
@@ -1767,9 +1770,12 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         thr,
     )
     if _timing:
+        import sys as _sys
+
         print(
             f"[FAC_TIME dp] decode={( _time.perf_counter() - _t3) * 1e3:.1f}ms "
-            f"emissions={total} matches={len(results)}"
+            f"emissions={total} matches={len(results)}",
+            file=_sys.stderr,
         )
     engine.last_stats = {
         "backend": (
@@ -1783,6 +1789,13 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         "emissions": total,
         "matches": len(results),
     }
+    if _timing:
+        engine.last_stats.update(
+            dispatch_ms=round((_t1 - _t0) * 1e3, 1),
+            readback_ms=round((_t2 - _t1) * 1e3, 1),
+            decode_ms=round((_time.perf_counter() - _t3) * 1e3, 1),
+            result_buf_kib=buf.nbytes >> 10,
+        )
     return results
 
 
