@@ -129,6 +129,34 @@ def run_extras(detail, corpus, fengine, dictionary):
         except Exception as e:  # pragma: no cover - bench resilience
             detail["build_automaton_error"] = repr(e)
 
+    # Beam configs (reference benches/benchmark.rs beam_search group:
+    # {none, 500, 100}): on the device, beamed engines ride the exact DP
+    # lanes (docs/performance.md "Beams on the TPU") and REUSE the headline
+    # engine's kernel shapes — no extra compile; the numbers demonstrate
+    # beams cost nothing device-side.
+    for bname, builder in (
+        ("beam500", lambda b: b.beam_width(500)),
+        ("autobeam", lambda b: b.auto_beam(100_000, 100)),
+    ):
+        if not budget_ok(bname, 30.0):
+            continue
+        try:
+            eng = builder(
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(1))
+                .case_insensitive(True)
+            ).build(dictionary)
+            eng.backend = "device"
+            eng.search_raw(corpus, 0.8)  # warm (kernel shared with fuzzy1)
+            t0 = time.time()
+            ms = eng.search_raw(corpus, 0.8)
+            dt = time.time() - t0
+            detail[f"{bname}_bps"] = round(len(corpus) / dt)
+            detail[f"{bname}_matches"] = len(ms)
+            _log(f"{bname}: {len(corpus) / dt / 1e6:.0f} MB/s")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail[f"{bname}_error"] = repr(e)
+
     # swaps(0) keeps the bitap budget k == edits (a swap costs 2 bitap
     # errors, reference prefilter.rs:174-183 — with swaps allowed k
     # doubles and the scan stops pruning on random text). These configs
@@ -213,7 +241,26 @@ def run_extras(detail, corpus, fengine, dictionary):
         except Exception as e:  # pragma: no cover - bench resilience
             detail["mapped_error"] = repr(e)
 
-    # 1k-pattern dictionary scan (seed-filter / packed lane).
+    # Parallel streaming replace throughput (reference replace_bench.rs).
+    if budget_ok("replace_stream_parallel", 60.0):
+        try:
+            import io
+
+            t0 = time.time()
+            out = io.BytesIO()
+            fengine.replace_stream_parallel(
+                sub.encode(), out, 16, 0.8, lambda m: "<x>"
+            )
+            dt = time.time() - t0
+            detail["replace_stream_parallel_bps"] = round(sn / dt)
+            _log(f"replace_stream_parallel: {sn / dt / 1e6:.0f} MB/s")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["replace_stream_parallel_error"] = repr(e)
+
+
+    # 1k-pattern dictionary scan (seed-filter / packed lane). LAST: its
+    # kernel has repeatedly needed >850 s of cold AOT compile — everything
+    # cheaper must land first.
     if budget_ok("many1k", 90.0):
         try:
             rng = np.random.default_rng(7)
@@ -240,23 +287,6 @@ def run_extras(detail, corpus, fengine, dictionary):
             _log(f"many1k: {sn / dt / 1e6:.0f} MB/s")
         except Exception as e:  # pragma: no cover - bench resilience
             detail["many1k_error"] = repr(e)
-
-    # Parallel streaming replace throughput (reference replace_bench.rs).
-    if budget_ok("replace_stream_parallel", 60.0):
-        try:
-            import io
-
-            t0 = time.time()
-            out = io.BytesIO()
-            fengine.replace_stream_parallel(
-                sub.encode(), out, 16, 0.8, lambda m: "<x>"
-            )
-            dt = time.time() - t0
-            detail["replace_stream_parallel_bps"] = round(sn / dt)
-            _log(f"replace_stream_parallel: {sn / dt / 1e6:.0f} MB/s")
-        except Exception as e:  # pragma: no cover - bench resilience
-            detail["replace_stream_parallel_error"] = repr(e)
-
 
 def main():
     import jax

@@ -112,7 +112,7 @@ class HaystackView:
 
     __slots__ = (
         "haystack", "ascii", "case_insensitive", "_texts", "_offsets",
-        "_chars", "_offsets_np", "_bytes",
+        "_chars", "_offsets_np", "_bytes", "_folded",
     )
 
     def __init__(self, haystack: str, case_insensitive: bool):
@@ -121,27 +121,51 @@ class HaystackView:
         self.ascii = haystack.isascii()
         self._offsets_np = None
         self._bytes = None
+        self._folded = None
         if self.ascii:
             self._texts = None
             self._offsets = None
             self._chars = None
-        else:
-            texts: list[str] = []
-            offsets: list[int] = []
-            pos = 0
-            for g in _GRAPHEME_RE.findall(haystack):
-                offsets.append(pos)
-                pos += len(g.encode("utf-8"))
-                if case_insensitive and not (g.isascii() and not any("A" <= c <= "Z" for c in g)):
-                    texts.append(g.lower())
-                else:
-                    texts.append(g)
-            self._texts = texts
-            self._offsets = offsets
-            self._chars = [t[0] if t else "\0" for t in texts]
+            return
+        # Single-code-point fast path: when every code point is below U+0300
+        # (no combining marks — the first combining block starts there; ZWJ,
+        # variation selectors, jamo, regional indicators are all higher) and
+        # there is no CR (CRLF is one cluster), every code point IS one
+        # extended grapheme cluster — segmentation becomes vectorized
+        # arithmetic instead of a regex pass (~40x on 24 MiB corpora).
+        # Case folding must also be length-preserving (e.g. U+0130 lowers
+        # to two code points — falls back to the general path).
+        cps = np.frombuffer(haystack.encode("utf-32-le"), dtype=np.uint32)
+        if int(cps.max(initial=0)) < 0x300 and "\r" not in haystack:
+            folded = haystack.lower() if case_insensitive else haystack
+            if len(folded) == len(haystack):
+                self._texts = None
+                self._chars = None
+                self._folded = folded
+                # Code points < 0x300 are 1 or 2 UTF-8 bytes; exclusive
+                # prefix sum = inclusive cumsum minus the element (cumsum
+                # into a strided out= slice hits a ~30x numpy slow path).
+                blen = (1 + (cps >= 0x80)).astype(np.int64)
+                cs = np.cumsum(blen)
+                cs -= blen
+                self._offsets = cs
+                return
+        texts: list[str] = []
+        offsets: list[int] = []
+        pos = 0
+        for g in _GRAPHEME_RE.findall(haystack):
+            offsets.append(pos)
+            pos += len(g.encode("utf-8"))
+            if case_insensitive and not (g.isascii() and not any("A" <= c <= "Z" for c in g)):
+                texts.append(g.lower())
+            else:
+                texts.append(g)
+        self._texts = texts
+        self._offsets = offsets
+        self._chars = [t[0] if t else "\0" for t in texts]
 
     def __len__(self) -> int:
-        if self.ascii:
+        if self.ascii or self._folded is not None:
             return len(self.haystack)
         return len(self._texts)
 
@@ -156,7 +180,7 @@ class HaystackView:
         """Byte offset of grapheme ``idx`` (reference src/grapheme.rs:36,57,96)."""
         if self.ascii:
             return idx
-        return self._offsets[idx]
+        return int(self._offsets[idx])
 
     def offsets_array(self, total_bytes: int):
         """np.int64 [n+1] byte offsets with a ``total_bytes`` sentinel at n —
@@ -165,10 +189,8 @@ class HaystackView:
         if self.ascii:
             return None
         if self._offsets_np is None:
-            import numpy as np
-
-            self._offsets_np = np.asarray(
-                self._offsets + [total_bytes], dtype=np.int64
+            self._offsets_np = np.concatenate(
+                [np.asarray(self._offsets, dtype=np.int64), [total_bytes]]
             )
         return self._offsets_np
 
@@ -177,6 +199,8 @@ class HaystackView:
         if self.ascii:
             ch = self.haystack[idx]
             return ch.lower() if self.case_insensitive else ch
+        if self._folded is not None:
+            return self._folded[idx]
         return self._texts[idx]
 
     def first_char(self, idx: int) -> str:
@@ -184,6 +208,8 @@ class HaystackView:
         if self.ascii:
             ch = self.haystack[idx]
             return ch.lower() if self.case_insensitive else ch
+        if self._folded is not None:
+            return self._folded[idx]
         return self._chars[idx]
 
     def chars(self) -> list[str]:
@@ -192,6 +218,8 @@ class HaystackView:
         if self.ascii:
             h = self.haystack
             return list(h.lower() if self.case_insensitive else h)
+        if self._folded is not None:
+            return list(self._folded)
         return list(self._chars)
 
 
