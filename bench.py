@@ -129,6 +129,28 @@ def run_extras(detail, corpus, fengine, dictionary):
         except Exception as e:  # pragma: no cover - bench resilience
             detail["build_automaton_error"] = repr(e)
 
+    # Small-string search latency (reference benches/benchmark.rs
+    # search_basic): tiny haystacks route to the host oracle by design
+    # (AUTO_DEVICE_MIN) — this measures that path's per-call latency.
+    if budget_ok("search_basic", 15.0):
+        try:
+            basic = (
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(1))
+                .case_insensitive(True)
+                .build(["hello", "world", "help"])
+            )
+            hay = "why hello there, wrold of helpful words"
+            basic.search_raw(hay, 0.7)  # warm imports
+            reps = 300
+            t0 = time.time()
+            for _ in range(reps):
+                basic.search_raw(hay, 0.7)
+            detail["search_basic_us"] = round((time.time() - t0) / reps * 1e6)
+            _log(f"search_basic: {detail['search_basic_us']} us/call")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["search_basic_error"] = repr(e)
+
     # Beam configs (reference benches/benchmark.rs beam_search group:
     # {none, 500, 100}): on the device, beamed engines ride the exact DP
     # lanes (docs/performance.md "Beams on the TPU") and REUSE the headline
@@ -242,14 +264,21 @@ def run_extras(detail, corpus, fengine, dictionary):
             detail["mapped_error"] = repr(e)
 
     # Parallel streaming replace throughput (reference replace_bench.rs).
-    if budget_ok("replace_stream_parallel", 60.0):
+    if budget_ok("replace_stream_parallel", 120.0):
         try:
             import io
 
+            # Warm one batch-shaped superwindow (16 x 256 KiB windows = the
+            # same kernel shapes every full batch uses) so the timed pass
+            # doesn't measure the first batch's cold compile.
+            fengine.replace_stream_parallel(
+                io.BytesIO(sub[: 4 << 20].encode()), io.BytesIO(), 16, 0.8,
+                lambda m: "<x>",
+            )
             t0 = time.time()
             out = io.BytesIO()
             fengine.replace_stream_parallel(
-                sub.encode(), out, 16, 0.8, lambda m: "<x>"
+                io.BytesIO(sub.encode()), out, 16, 0.8, lambda m: "<x>"
             )
             dt = time.time() - t0
             detail["replace_stream_parallel_bps"] = round(sn / dt)
