@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .compact import compact_indices, dilate_any
 
 #: Lane count (independent chunks per pass) and VMEM block budget.
-NL_MAX = 8192
+NL_MAX = 16384
 #: Per-block VMEM budget for the in-kernel word-expansion scratch. At TB=8
 #: the scan paid ~8 us of per-grid-step overhead x 1700 steps (~13 ms per
 #: 100 MB — 30x the compute); 8 MB lands TB at ~40 rows while keeping the

@@ -177,7 +177,8 @@ def test_typed_e4_with_sub_cap_device():
         FuzzyAhoCorasickBuilder.new()
         .fuzzy(FuzzyLimits.new().edits(4).substitutions(1))
         .case_insensitive(True)
-        .build(["pattern", "needle", "vestibulum"])
+        .build(["patrn", "nedle"])  # short patterns keep the 55-channel
+        # unrolled DP's XLA CPU compile inside CI bounds (graph ~ Lmax)
     )
     from fuzzy_aho_corasick_tpu.ops.verify_dp import typed_spec_of
 
@@ -186,8 +187,7 @@ def test_typed_e4_with_sub_cap_device():
     assert eng._device_engine()._typed_ok
 
     rng = np.random.default_rng(5)
-    words = ["patern", "pattern", "needle", "nedle", "pttern",
-             "vstibulum", "filler", "der", "die"]
+    words = ["patrn", "patn", "nedle", "ndle", "nede", "filler", "der", "die"]
     hay = " ".join(words[int(i)] for i in rng.integers(0, len(words), 60))
     eng.backend = "device"
     dv = eng.search_raw(hay, 0.55)
