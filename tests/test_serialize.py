@@ -45,3 +45,36 @@ def test_save_load_roundtrip(tmp_path):
         engine.search("strase here", opts).matched_strings()
         == loaded.search("strase here", opts).matched_strings()
     )
+
+
+def test_save_load_mapped_engine_device_lane(tmp_path):
+    """A mapped engine round-trips with its mapping transitions intact and
+    the loaded engine is eligible for the mapped device lane."""
+    from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
+    from fuzzy_aho_corasick_tpu.serialize import load, save
+
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .mapping("ß", "ss")
+        .build(["strasse"])
+    )
+    path = tmp_path / "mapped.npz"
+    save(eng, path)
+    loaded = load(path)
+
+    from fuzzy_aho_corasick_tpu.ops.verify_dp import mapped_spec_of
+
+    orig_spec = mapped_spec_of(eng)
+    new_spec = mapped_spec_of(loaded)
+    assert new_spec is not None and new_spec.maps == orig_spec.maps
+
+    hay = ("wort " * 60) + "straße und strasse"
+    loaded.backend = "device"
+    dv = loaded.search_raw(hay, 0.6)
+    eng.backend = "oracle"
+    orc = eng.search_raw(hay, 0.6)
+    key = lambda l: sorted(
+        (m.start, m.end, m.pattern_index, float(m.similarity)) for m in l
+    )
+    assert key(dv) == key(orc)
