@@ -284,6 +284,7 @@ def _banded_dp(
     sb_edge_flat=None,
     out_count_arr=None,
     MAPS=None,
+    FORBID=None,
 ):
     """Banded Damerau DP over candidates.
 
@@ -333,6 +334,16 @@ def _banded_dp(
     F = depth_arr.shape[0]
     npad = ids_pad.shape[0]
     INF = jnp.float32(np.inf)
+
+    # Forbidden edit types (static): configs like edits(2).swaps(0) — a
+    # total budget with some per-type caps at 0 and the rest unlimited —
+    # ride this cheap count-channel DP with the forbidden arrivals compiled
+    # out, instead of the ~3x-heavier type-vector-channel DP (counts of a
+    # disabled type are identically 0, so the oracle's per-type emission
+    # checks hold for free; reference limit semantics src/search.rs:87-169).
+    f_ins, f_del, f_sub, f_swap = FORBID if FORBID is not None else (
+        False, False, False, False
+    )
 
     # Mapping arrivals (static, unrolled path only — see MappedSpec): row
     # history depth PH covers the deepest pattern-side walk. MAPS entries
@@ -543,7 +554,7 @@ def _banded_dp(
                     jnp.isfinite(p_pen) & j_ok & (hc == pc), p_pen, INF
                 )
                 bc = prev_cnt[b][e]
-                if e >= 1:
+                if e >= 1 and not f_sub:
                     # substitution: (i-1, b, e-1) (src/search.rs:803-874)
                     q_pen = prev_pen[b][e - 1]
                     q_cnt = prev_cnt[b][e - 1]
@@ -555,6 +566,7 @@ def _banded_dp(
                     if okrow is not None and e == NE - 1:
                         ok_s &= okrow[b]
                     bp, bc = merge(bp, bc, q_pen + spen, q_cnt + 0x1_0000, ok_s)
+                if e >= 1 and not f_swap:
                     # swap: (i-2, b, e-1) (src/search.rs:935-989)
                     s_pen = prev2_pen[b][e - 1]
                     s_cnt = prev2_cnt[b][e - 1]
@@ -569,7 +581,7 @@ def _banded_dp(
                 cons_cnt[b][e] = bc
                 # deletion: (i-1, b+1, e-1) — consume pc only
                 # (src/search.rs:1035-1089; column j is band b+1 on row i-1)
-                if e >= 1 and b + 1 < B:
+                if e >= 1 and b + 1 < B and not f_del:
                     d_pen = prev_pen[b + 1][e - 1]
                     d_cnt = prev_cnt[b + 1][e - 1]
                     ok_del = jnp.isfinite(d_pen) & ~(p_del > (max_pen - d_pen))
@@ -628,7 +640,7 @@ def _banded_dp(
         # insertion: same row, (b-1, e-1) -> b — consume hc only, ascending b
         # (src/search.rs:994-1029). Forbidden from cells with zero hay
         # consumed (the nothing-matched-yet rule): source col j-1 >= 1.
-        for b in range(1, B):
+        for b in range(1, B) if not f_ins else ():
             j = i + (b - E)
             hc = hcs[b]
             for e in range(1, NE):
@@ -657,7 +669,7 @@ def _banded_dp(
 
                 ep = cons_pen[b][e]
                 ec = cons_cnt[b][e]
-                if e >= 1 and b + 1 < B:
+                if e >= 1 and b + 1 < B and not f_del:
                     t_pen = preve_pen[b + 1][e - 1]
                     t_cnt = preve_cnt[b + 1][e - 1]
                     ok_t = jnp.isfinite(t_pen) & ~(p_del > (max_pen - t_pen))
@@ -873,6 +885,26 @@ class TypedSpec:
         spec.adm = tuple(adm)
         spec.n_limcls = len(adm)
         return spec
+
+
+def forbid_spec_of(engine) -> Optional[tuple]:
+    """(E, no_ins, no_del, no_sub, no_swap) for configurations that are a
+    total edit budget with some edit types simply FORBIDDEN (cap 0) and the
+    rest unlimited within the total — e.g. ``edits(2).swaps(0)``. These ride
+    the cheap count-channel DP with the forbidden arrivals compiled out
+    (counts of a disabled type are identically 0, so the per-type emission
+    checks hold for free) instead of the type-vector-channel DP."""
+    if engine.has_pattern_limits or engine.mappings:
+        return None
+    lim = engine.limits
+    if lim is None or lim.edits_ is None or not 1 <= lim.edits_ <= 6:
+        return None
+    caps = (lim.insertions_, lim.deletions_, lim.substitutions_, lim.swaps_)
+    if any(c not in (None, 0) for c in caps):
+        return None
+    if all(c is None for c in caps):
+        return None  # plain FAST config; served without this routing
+    return (int(lim.edits_),) + tuple(c == 0 for c in caps)
 
 
 def typed_spec_of(engine) -> Optional[TypedSpec]:
@@ -1242,7 +1274,7 @@ def _emit_rows_typed(
         "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
         "KH", "CAND", "KG", "E", "Lmax", "C", "MO",
         "BITS", "P2F", "DEPTHS", "DEADEND", "TYPED", "STAGE", "CONSTS",
-        "MAPS",
+        "MAPS", "FORBID",
     ),
 )
 def _dp_pipeline_jit(
@@ -1263,6 +1295,7 @@ def _dp_pipeline_jit(
     STAGE=3,
     CONSTS=None,
     MAPS=None,
+    FORBID=None,
 ):
     """Whole DP-verified fuzzy search as one dispatch; single int32 result
     buffer, 12 bytes per emission (see :func:`_pack_rows`):
@@ -1312,6 +1345,7 @@ def _dp_pipeline_jit(
             sb_edge_flat=sb_edge_flat,
             out_count_arr=out_count_arr,
             MAPS=MAPS,
+            FORBID=FORBID,
         )                                         # [B*NE, M] each
         if STAGE == 2:
             return _early(
@@ -1508,7 +1542,8 @@ def _emit_rows(
 
 def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
                     typed: Optional["TypedSpec"] = None,
-                    maps: Optional["MappedSpec"] = None) -> Optional[List]:
+                    maps: Optional["MappedSpec"] = None,
+                    forbid: Optional[tuple] = None) -> Optional[List]:
     """DP-verified fuzzy search (packed-prefilter eligible); None when not
     applicable — the caller falls back (beam kernels for FAST configs, the
     oracle for typed ones). Oracle-identical matches. ``typed`` switches the
@@ -1556,7 +1591,10 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
 
     dense = engine.dense
     pens = engine.penalties
-    E = engine.max_edits_fast if typed is None else typed.E
+    if forbid is not None:
+        E = forbid[0]
+    else:
+        E = engine.max_edits_fast if typed is None else typed.E
     # Candidate-stage work budget: the expansion materializes
     # (fields x bands) x KH slots. Loose budgets (k approaching the pattern
     # length — e.g. total-edit configs where a swap costs 2 bitap errors,
@@ -1696,11 +1734,16 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
                 KH=KH, CAND=CAND, KG=KG, E=E, Lmax=vf.max_depth,
                 C=dense.num_classes, MO=dense.max_out,
                 BITS=BITS, P2F=P2F, DEPTHS=DEPTHS,
-                DEADEND=dense.has_multibyte_edges and typed is None,
+                # Last-edit dead-end filters are FAST-path oracle semantics
+                # (src/search.rs:204-393 monomorphization); typed and
+                # forbid configs run the general path, which has none.
+                DEADEND=dense.has_multibyte_edges and typed is None
+                and forbid is None,
                 TYPED=TYPED,
                 STAGE=_stage,
                 CONSTS=SCAN_CONSTS,
                 MAPS=maps.maps if maps is not None else None,
+                FORBID=None if forbid is None else tuple(forbid[1:]),
         )
         if _timing:
             out_dev = jax.block_until_ready(out_dev)
@@ -1781,6 +1824,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         "backend": (
             "device-fuzzy-dp-typed" if typed is not None
             else "device-fuzzy-dp-mapped" if maps is not None
+            else "device-fuzzy-dp-forbid" if forbid is not None
             else "device-fuzzy-dp"
         ),
         "hits": count_h,
@@ -1813,7 +1857,11 @@ def fuzzy_search_typed_device(engine, haystack: str, threshold) -> List:
     n = len(view)
     if n == 0:
         return []
-    res = fuzzy_search_dp(engine, haystack, threshold, view, n, typed=spec)
+    forb = forbid_spec_of(engine)
+    if forb is not None:
+        res = fuzzy_search_dp(engine, haystack, threshold, view, n, forbid=forb)
+    else:
+        res = fuzzy_search_dp(engine, haystack, threshold, view, n, typed=spec)
     if res is None:
         return oracle.search_raw(engine, haystack, threshold)
     return res

@@ -204,7 +204,7 @@ def _shard_fuzzy_layout(shard_len: int, halo: int, margin: int, W: int):
 def make_sharded_fuzzy_step(
     engine, mesh: Mesh, shard_len: int, n: int, threshold,
     KH: int, CAND: int, KG: int,
-    typed=None, maps=None,
+    typed=None, maps=None, forbid=None,
 ):
     """Build a jitted shard_map fuzzy DP-search step over ``mesh``.
 
@@ -242,7 +242,10 @@ def make_sharded_fuzzy_step(
     vf = verify_fields_of(engine)
     dense = engine.dense
     pens = engine.penalties
-    E = engine.max_edits_fast if typed is None else typed.E
+    if forbid is not None:
+        E = forbid[0]
+    else:
+        E = engine.max_edits_fast if typed is None else typed.E
     if maps is not None:
         # Edit-count-based scan budget (see ops/verify_dp.MappedSpec).
         ks = [maps.k] * len(pk.filt.patterns)
@@ -329,10 +332,11 @@ def make_sharded_fuzzy_step(
                 pens.swap, engine.min_symbol_similarity,
                 E, Lmax, dense.num_classes,
                 lo=lo_ext,
-                deadend=dense.has_multibyte_edges,
+                deadend=dense.has_multibyte_edges and forbid is None,
                 sb_edge_flat=sbe_d,
                 out_count_arr=ocnt_d,
                 MAPS=maps.maps if maps is not None else None,
+                FORBID=None if forbid is None else tuple(forbid[1:]),
             )
             total, rows = _emit_rows(
                 pen_flat, cnt_flat, cand_field, cand_start,
@@ -393,6 +397,7 @@ def sharded_fuzzy_search(
     from ..ops.packed_bitap import packed_fuzzy_of
     from ..ops.verify_dp import (
         _fine_cap,
+        forbid_spec_of,
         mapped_spec_of,
         typed_spec_of,
         verify_fields_of,
@@ -410,6 +415,7 @@ def sharded_fuzzy_search(
         return None
     typed = None
     maps = None
+    forbid = None
     if 1 <= engine.max_edits_fast <= 6:
         if engine.mappings:
             maps = mapped_spec_of(engine)
@@ -424,9 +430,11 @@ def sharded_fuzzy_search(
     else:
         if engine.mappings:
             return None
-        typed = typed_spec_of(engine)
-        if typed is None:
-            return None
+        forbid = forbid_spec_of(engine)
+        if forbid is None:
+            typed = typed_spec_of(engine)
+            if typed is None:
+                return None
     if maps is None:
         for bp in pk.filt.patterns:
             if pk.filt.k_for(bp, thr) is None:
@@ -476,13 +484,13 @@ def sharded_fuzzy_search(
     while True:
         sk = (
             tuple(d.id for d in mesh.devices.flat), shard_len, n, float(thr),
-            KH, CAND, KG, typed is not None, maps is not None,
+            KH, CAND, KG, typed is not None, maps is not None, forbid,
         )
         hit = steps.get(sk)
         if hit is None:
             hit = make_sharded_fuzzy_step(
                 engine, mesh, shard_len, n, thr, KH, CAND, KG,
-                typed=typed, maps=maps,
+                typed=typed, maps=maps, forbid=forbid,
             )
             steps[sk] = hit
         step, halo = hit

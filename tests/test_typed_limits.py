@@ -217,3 +217,42 @@ def test_typed_e4_unconstrained_declines():
     assert typed_spec_of(eng) is None
     ms = eng.search_raw("the pattren and pttern here", 0.6)
     assert len(ms) >= 2
+
+
+def test_forbidden_type_configs_ride_count_channel_dp():
+    """edits(E) with some per-type caps at 0 (e.g. swaps forbidden) rides
+    the cheap count-channel DP with those arrivals compiled out, not the
+    type-vector DP — same results, ~3x the throughput."""
+    from fuzzy_aho_corasick_tpu.ops.verify_dp import forbid_spec_of
+
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2).swaps(0))
+        .case_insensitive(True)
+        .build(["pattern", "needle"])
+    )
+    assert forbid_spec_of(eng) == (2, False, False, False, True)
+
+    rng = np.random.default_rng(3)
+    words = ["patern", "pattern", "nedle", "neelde", "filler", "der"]
+    hay = " ".join(words[int(i)] for i in rng.integers(0, len(words), 200))
+    eng.backend = "device"
+    dv = eng.search_raw(hay, 0.6)
+    assert eng.last_stats["backend"] == "device-fuzzy-dp-forbid"
+    eng.backend = "oracle"
+    orc = eng.search_raw(hay, 0.6)
+    key = lambda l: sorted(
+        (m.start, m.end, m.pattern_index, float(m.similarity),
+         m.insertions, m.deletions, m.substitutions, m.swaps) for m in l
+    )
+    assert key(dv) == key(orc)
+    # A swap never appears in any result.
+    assert all(m.swaps == 0 for m in orc)
+
+    # Mixed per-type caps (not just forbidden) still use the typed DP.
+    capped = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2).substitutions(1))
+        .build(["pattern"])
+    )
+    assert forbid_spec_of(capped) is None
