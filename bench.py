@@ -292,7 +292,9 @@ def run_extras(detail, corpus, fengine, dictionary):
     # 1k-pattern dictionary scan (seed-filter / packed lane). LAST: its
     # kernel has repeatedly needed >850 s of cold AOT compile — everything
     # cheaper must land first.
-    if budget_ok("many1k", 90.0):
+    # Its chunked-kernel compile has repeatedly needed >35 minutes of AOT
+    # service time; only attempt it when the caller grants that much.
+    if budget_ok("many1k", 2400.0):
         try:
             rng = np.random.default_rng(7)
             alphabet = "abcdefghijklmnopqrstuvwxyz"
