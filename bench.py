@@ -31,7 +31,7 @@ _T_START = time.time()
 # Wall-clock budget for the WHOLE process. The driver window killed round 2's
 # run (rc=124); the headline now prints long before this matters, and each
 # secondary bench checks the remaining budget before starting.
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "420"))
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
 
 def _elapsed() -> float:
