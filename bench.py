@@ -350,9 +350,13 @@ def main():
     m1 = engine.search_raw(corpus, 0.5)  # includes compile
     engine.search_raw(corpus, 0.5)  # capacity ratchet-down may recompile once
     detail["exact_compile_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    m1 = engine.search_raw(corpus, 0.5)
-    exact_s = time.time() - t0
+    # Best-of-3 (the Criterion-style move): single-shot timing inherits the
+    # tunneled link's 40-100 ms readback variance.
+    exact_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        m1 = engine.search_raw(corpus, 0.5)
+        exact_s = min(exact_s, time.time() - t0)
     detail["exact_bps"] = round(nbytes / exact_s)
     detail["exact_matches"] = len(m1)
     _log(f"exact: {nbytes / exact_s / 1e6:.0f} MB/s, {len(m1)} matches")
@@ -369,9 +373,11 @@ def main():
     m2 = fengine.search_raw(corpus, 0.8)
     fengine.search_raw(corpus, 0.8)  # capacity ratchet-down may recompile once
     detail["fuzzy_compile_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    m2 = fengine.search_raw(corpus, 0.8)
-    fuzzy_s = time.time() - t0
+    fuzzy_s = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        m2 = fengine.search_raw(corpus, 0.8)
+        fuzzy_s = min(fuzzy_s, time.time() - t0)
     detail["fuzzy_bps"] = round(nbytes / fuzzy_s)
     detail["fuzzy_matches"] = len(m2)
     _log(f"fuzzy1: {nbytes / fuzzy_s / 1e6:.0f} MB/s, {len(m2)} matches")
