@@ -246,3 +246,44 @@ def test_explicit_beam_width_device_backend():
     assert sorted(first) == sorted(
         _tuples(eng.search(hay, SearchOptions.new().with_threshold(0.7)))
     )
+
+
+def test_beamed_mapped_and_typed_device_policy():
+    """Beams compose with the mapped and typed lanes: device serves the
+    exact result (deterministic), equal to the host below the auto-beam
+    budget's exact regime."""
+    mapped = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .auto_beam(1_000_000, 500)
+        .mapping("ß", "ss")
+        .build(["strasse"])
+    )
+    assert mapped._device_engine()._mapped_ok
+    mapped.backend = "device"
+    hay = ("wort " * 40) + "straße und strasse"
+    first = _tuples(mapped.search(hay, SearchOptions.new().with_threshold(0.6)))
+    assert first
+    for _ in range(2):
+        assert first == _tuples(
+            mapped.search(hay, SearchOptions.new().with_threshold(0.6))
+        )
+    mapped.backend = "oracle"
+    assert sorted(first) == sorted(
+        _tuples(mapped.search(hay, SearchOptions.new().with_threshold(0.6)))
+    )
+
+    typed = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(2).swaps(0))
+        .auto_beam(1_000_000, 500)
+        .build(["needle"])
+    )
+    assert typed._device_engine()._typed_ok
+    typed.backend = "device"
+    hay2 = ("pad " * 40) + "nedle and nele"
+    t1 = _tuples(typed.search(hay2, SearchOptions.new().with_threshold(0.5)))
+    typed.backend = "oracle"
+    assert sorted(t1) == sorted(
+        _tuples(typed.search(hay2, SearchOptions.new().with_threshold(0.5)))
+    )
