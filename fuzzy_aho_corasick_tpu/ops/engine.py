@@ -131,6 +131,15 @@ class DeviceEngine:
                     return []
                 res = fuzzy_search_dp(self.engine, haystack, threshold, view, n)
                 if res is None:
+                    from .packed_bitap import packed_fuzzy_of
+
+                    if packed_fuzzy_of(self.engine) is None:
+                        from .many import fuzzy_search_many
+
+                        res = fuzzy_search_many(
+                            self.engine, haystack, threshold, view, n
+                        )
+                if res is None:
                     return oracle.search_raw(self.engine, haystack, threshold)
                 return res
             from .fuzzy import fuzzy_search_device

@@ -889,6 +889,18 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
         if dp is not None:
             return dp
 
+        # Large dictionaries: the single-kernel packing itself fails (total
+        # pattern bits past the limb budget) -> the pattern-chunked lane,
+        # whose compile cost is independent of dictionary size (ops/many).
+        from .packed_bitap import packed_fuzzy_of
+
+        if packed_fuzzy_of(engine) is None:
+            from .many import fuzzy_search_many
+
+            res = fuzzy_search_many(engine, haystack, threshold, view, n)
+            if res is not None:
+                return res
+
     # Fused single-dispatch pipeline (anchors + beam + compaction in one jit,
     # one device_get) for E=1 with the packed prefilter; everything else
     # takes the chunked path below.

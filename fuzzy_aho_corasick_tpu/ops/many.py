@@ -1,0 +1,528 @@
+"""Large-dictionary fuzzy lane: pattern-chunked DP pipeline.
+
+The single-dispatch DP pipeline (ops/verify_dp) bakes the packed shift-AND
+tables and the per-pattern candidate-expansion maps into the kernel as
+compile-time constants — unbeatable for headline-sized dictionaries (tens of
+patterns), but compile time grows with pattern count and the u64 limb budget
+caps one kernel at ``MAX_LIMBS`` words (512 pattern-bits). The reference has
+no such cliff: its automaton serves thousands of patterns from the same
+monomorphized loop (reference src/search.rs:418-1119; the search_many_patterns
+bench, benches/benchmark.rs:45-76).
+
+This lane restores that capability TPU-side with compile time *independent of
+pattern count*:
+
+* the dictionary is split into chunks of consecutive patterns, each fitting
+  the limb budget; every per-chunk table (shift-AND word table, start/match/
+  init masks, candidate-expansion maps) is a *traced device array* of one
+  uniform shape — so ONE compiled kernel serves every chunk;
+* the banded-DP verify tables are the parent engine's (fields are global
+  verify-field ids), so the corpus is transcoded and device-resident ONCE,
+  shared by all chunks;
+* chunks are dispatched back-to-back and read back in order — the device
+  computes chunk i+1 while chunk i's (sparse) result buffer crosses the host
+  link, the same overlap scheme as the sliced headline pipeline.
+
+The scan kernel runs in its table-from-SMEM form (``consts=None`` in
+ops/packed_bitap._kernel_factory): ~2-3x slower per pass than the baked
+headline kernel, but the pass count is what grows with dictionary size and
+total scan work is ~linear in total pattern bits either way.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .compact import compact_indices
+
+#: Uniform u64 limb budget per chunk kernel (512 pattern-bits / chunk).
+MANY_LIMBS = 8
+#: Pattern-id field in the packed emission rows is 12 bits.
+MANY_MAX_PATTERNS = 4095
+
+
+class ManyPackSpec:
+    """Per-engine chunked packing: host numpy tables, one entry per chunk.
+
+    ``chunks`` entries hold (p0, p1, offsets, word_tbl, f_rows) where
+    ``offsets`` are the chunk's (limb, bit) per pattern and ``f_rows`` the
+    flattened (verify_field, u32 col, shift, depth) expansion rows.
+    ``W``/``A``/``F`` are the uniform static shapes; ``m_max`` the global
+    longest pattern (the scan halo length).
+    """
+
+    __slots__ = ("filt", "chunks", "W", "A", "F", "m_max", "n_pat")
+
+    def __init__(self, filt, chunks, W, A, F, m_max, n_pat):
+        self.filt = filt
+        self.chunks = chunks
+        self.W = W
+        self.A = A
+        self.F = F
+        self.m_max = m_max
+        self.n_pat = n_pat
+
+    @staticmethod
+    def build(engine) -> Optional["ManyPackSpec"]:
+        from ..prefilter import BitapFilter
+        from .packed_bitap import (
+            MAX_ALPHABET_PACKED, _pack_fields, _word_table,
+        )
+        from .verify_dp import verify_fields_of
+
+        filt = getattr(engine, "_bitap_filter_cache", None)
+        if filt is None:
+            filt = BitapFilter.build(engine, allow_mappings=True)
+            engine._bitap_filter_cache = filt if filt is not None else False
+        if filt is False or filt is None:
+            return None
+        vf = verify_fields_of(engine)
+        if vf is None:
+            return None
+        pats = filt.patterns
+        if len(pats) > MANY_MAX_PATTERNS:
+            return None
+        A = len(filt.symbol_ids) + 1
+        if A > MAX_ALPHABET_PACKED:
+            return None
+
+        # Greedy consecutive chunking under the limb budget.
+        ranges = []
+        p0 = 0
+        while p0 < len(pats):
+            p1 = p0 + 1
+            while p1 <= len(pats):
+                offs = _pack_fields([bp.m for bp in pats[p0:p1]])
+                if offs is None:
+                    return None  # some pattern > 64 graphemes
+                if max(w for w, _ in offs) + 1 > MANY_LIMBS:
+                    break
+                p1 += 1
+            p1 -= 1
+            if p1 <= p0:
+                return None  # single pattern exceeds the limb budget
+            ranges.append((p0, p1))
+            p0 = p1
+
+        # Static expansion-table maps: (pattern) -> its verify fields with
+        # the pattern's match-bit (col, shift) in the chunk limb layout.
+        chunks = []
+        W = 1
+        F = 1
+        for (p0, p1) in ranges:
+            ms = [bp.m for bp in pats[p0:p1]]
+            offsets = _pack_fields(ms)
+            w_c = max(w for w, _ in offsets) + 1
+            W = max(W, w_c)
+            rows = []
+            for pi, ((lw, lo), m_p) in enumerate(zip(offsets, ms)):
+                bit = lo + m_p - 1
+                col, sh = 2 * lw + (bit >> 5), bit & 31
+                for fld in vf.pat2field[p0 + pi]:
+                    if fld < 0:
+                        continue
+                    rows.append((int(fld), col, sh, int(vf.depth[fld])))
+            F = max(F, len(rows))
+            chunks.append((p0, p1, offsets, ms, rows))
+
+        # Uniform-shape numpy tables (padded to the global W / F).
+        out_chunks = []
+        for (p0, p1, offsets, ms, rows) in chunks:
+            limb = np.zeros((A, W), dtype=np.uint64)
+            for bp, (lw, lo) in zip(pats[p0:p1], offsets):
+                limb[: len(bp.mask), lw] |= bp.mask << np.uint64(lo)
+            word_tbl = _word_table(limb, A, W)            # [A, 2W] i32
+            f_ids = np.full(F, -1, dtype=np.int32)
+            f_col = np.zeros(F, dtype=np.int32)
+            f_shift = np.zeros(F, dtype=np.int32)
+            f_depth = np.zeros(F, dtype=np.int32)
+            for i, (fld, col, sh, d) in enumerate(rows):
+                f_ids[i], f_col[i], f_shift[i], f_depth[i] = fld, col, sh, d
+            out_chunks.append(
+                (p0, p1, offsets, ms, word_tbl, f_ids, f_col, f_shift, f_depth)
+            )
+        m_max = max(bp.m for bp in pats)
+        return ManyPackSpec(filt, out_chunks, W, A, F, m_max, len(pats))
+
+    def masks_for(self, ks: List[int], k: int):
+        """Per-chunk (starts [2W], match [k+1, 2W], init [k+1, 2W]) u32 at
+        the given per-pattern budgets (reference fresh-start state
+        src/prefilter.rs:414-418); ``k`` is the uniform row count."""
+        from .packed_bitap import _last_bit_mask, _starts_mask
+
+        out = []
+        for (p0, p1, offsets, ms, *_rest) in self.chunks:
+            starts = _starts_mask(offsets, self.W)
+            match = _last_bit_mask(
+                offsets, ms, k + 1, lambda i: ks[p0 + i], self.W
+            )
+            init = np.zeros((k + 1, 2 * self.W), dtype=np.uint32)
+            for (lw, lo), m in zip(offsets, ms):
+                for d in range(1, k + 1):
+                    word = np.uint64((1 << min(d, m)) - 1) << np.uint64(lo)
+                    init[d, 2 * lw] |= np.uint32(word & np.uint64(0xFFFFFFFF))
+                    init[d, 2 * lw + 1] |= np.uint32(word >> np.uint64(32))
+            out.append((starts, match, init))
+        return out
+
+
+def many_spec_of(engine) -> Optional[ManyPackSpec]:
+    sp = getattr(engine, "_many_spec_cache", None)
+    if sp is None:
+        sp = ManyPackSpec.build(engine)
+        engine._many_spec_cache = sp if sp is not None else False
+    return sp if sp is not False else None
+
+
+def _expand_candidates_traced(
+    pos, words, start_lo, start_hi, pos_hi, E, CAND,
+    f_ids, f_col, f_shift, f_depth,
+):
+    """Gather-based form of verify_dp._expand_candidates: the per-pattern
+    maps are traced device arrays instead of unrolled python constants, so
+    one compiled kernel serves every pattern chunk. Same semantics, including
+    the hit-run dedup (adjacent ends of one pattern produce one candidate)."""
+    B = 2 * E + 1
+    hit_ok = (pos >= 0) & (pos < pos_hi)
+    ends = pos + 1
+    sh_row = f_shift[None, :].astype(jnp.uint32)
+    wsel = jnp.take(words.astype(jnp.uint32), f_col, axis=1)       # [KH, F]
+    bits = (wsel >> sh_row) & jnp.uint32(1)
+    alive_f = (f_ids >= 0)[None, :]
+    fired = hit_ok[:, None] & (bits == 1) & alive_f
+    prev_same = jnp.concatenate(
+        [jnp.zeros((1,), bool), pos[1:] == pos[:-1] + 1]
+    )
+    wprev = jnp.concatenate(
+        [jnp.zeros((1, words.shape[1]), words.dtype), words[:-1]], axis=0
+    )
+    bits_p = (jnp.take(wprev.astype(jnp.uint32), f_col, axis=1) >> sh_row) & jnp.uint32(1)
+    dup = prev_same[:, None] & (bits_p == 1)
+
+    ok_list, cf_list, cs_list = [], [], []
+    ids_row = f_ids[None, :]
+    for b in range(B):
+        start = ends[:, None] - (f_depth[None, :] + (b - E))
+        ok = fired & (start >= start_lo) & (start < start_hi)
+        if b > 0:
+            ok = ok & ~dup
+        ok_list.append(ok.reshape(-1))
+        cf_list.append(jnp.where(ok, ids_row, -1).reshape(-1))
+        cs_list.append(jnp.where(ok, start, 0).reshape(-1))
+    cfs_all = jnp.stack(
+        [jnp.concatenate(cf_list), jnp.concatenate(cs_list)], axis=1
+    )
+    ok_all = jnp.concatenate(ok_list)
+    cand_count, cidx = compact_indices(ok_all, CAND)
+    csafe = jnp.maximum(cidx, 0)
+    pair = cfs_all[csafe]
+    cand_field = jnp.where(cidx >= 0, pair[:, 0], -1)
+    cand_start = jnp.where(cidx >= 0, pair[:, 1], 0)
+    return cand_count, cand_field, cand_start
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
+        "KH", "CAND", "KG", "E", "Lmax", "C", "MO", "DEADEND",
+    ),
+)
+def _many_pipeline_jit(
+    ids_pf, ids_pf_w32, word_tbl, pf_starts, pf_match, pf_init,
+    f_ids, f_col, f_shift, f_depth,
+    depth_arr, node_arr, path_cls_flat, path_node_flat,
+    out_list, pat_len, pat_weight,
+    ids_dense, ids_dense_w32, limit, start_lo, start_hi,
+    sim_flat, node_ceil, sb_edge_flat, out_count_arr,
+    max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
+    A, W, NL, TB, grid, chunkpf, halo, k,
+    KH, CAND, KG, E, Lmax, C, MO,
+    DEADEND=False,
+):
+    """One pattern-chunk's full search: scan -> expand -> banded DP -> emit.
+    Identical result layout to verify_dp._dp_pipeline_jit (header row +
+    12-byte emission rows); per-chunk tables are traced inputs."""
+    from .packed_bitap import packed_hits
+    from .verify_dp import _banded_dp, _emit_rows
+
+    count_h, pos, words = packed_hits(
+        ids_pf, word_tbl, pf_starts, pf_match, pf_init,
+        A, W, NL, TB, grid, chunkpf, halo, k, KH,
+        ids_w32=ids_pf_w32, consts=None,
+    )
+    cand_count, cand_field, cand_start = _expand_candidates_traced(
+        pos, words, start_lo, start_hi, limit, E, CAND,
+        f_ids, f_col, f_shift, f_depth,
+    )
+    pen_flat, cnt_flat = _banded_dp(
+        cand_field, cand_start,
+        path_cls_flat, path_node_flat, depth_arr,
+        ids_dense, limit, sim_flat, node_ceil,
+        max_pen, p_sub, p_ins, p_del, p_swap, floor,
+        E, Lmax, C,
+        ids_w32=ids_dense_w32,
+        deadend=DEADEND,
+        sb_edge_flat=sb_edge_flat,
+        out_count_arr=out_count_arr,
+    )
+    total, rows = _emit_rows(
+        pen_flat, cnt_flat, cand_field, cand_start,
+        depth_arr, node_arr, out_list, pat_len, pat_weight,
+        limit, thr, E, MO, CAND, KG,
+    )
+    header = (
+        jnp.zeros((1, 3), jnp.int32)
+        .at[0, 0].set(count_h)
+        .at[0, 1].set(cand_count)
+        .at[0, 2].set(total)
+    )
+    return jnp.concatenate([header, rows], axis=0)
+
+
+def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optional[List]:
+    """Chunked large-dictionary fuzzy search; None when not applicable (the
+    caller falls back to the beam kernels / oracle). Oracle-identical
+    matches. FAST-path configurations only (global total-edit budget, no
+    mappings, no per-pattern limits — the DeviceEngine gate)."""
+    from ..utils import device_corpus
+    from .packed_bitap import (
+        RESIDENT_MAX, _cap_cache, _derive_layout_resident, _dev_consts,
+        _space_token,
+    )
+    from .verify_dp import _fine_cap, verify_fields_of
+
+    thr = np.float32(threshold)
+    if n > RESIDENT_MAX:
+        return None
+    spec = many_spec_of(engine)
+    if spec is None:
+        return None
+    vf = verify_fields_of(engine)
+    if vf is None:
+        return None
+    dense = engine.dense
+    if dense.num_classes > 256:
+        return None
+    pens = engine.penalties
+    E = engine.max_edits_fast
+
+    ks = []
+    for bp in spec.filt.patterns:
+        kq = spec.filt.k_for(bp, thr)
+        if kq is None:
+            return None
+        ks.append(kq)
+    k = max(ks)
+    halo = spec.m_max + k
+
+    ceil = engine.prune_len_arr - np.float32(engine.prune_len_over_weight_arr * thr)
+    max_pen = np.float32(ceil[0])
+    if np.float32(0.0) > max_pen:
+        return []
+
+    tok = _space_token(engine)
+    ids_pf, ids_pf_w32, n_pf = device_corpus.resident_words(
+        haystack,
+        ("pk-fuzzy", tok),
+        lambda h: np.ascontiguousarray(spec.filt.transcode(h)[0], dtype=np.uint8),
+    )
+    ids_dense, ids_dense_w32, n_d = device_corpus.resident_words(
+        haystack,
+        ("dense", tok),
+        lambda h: np.ascontiguousarray(dense.transcode(h, view), dtype=np.uint8),
+    )
+    assert n_pf == n_d == n
+    nb = ids_pf.size
+    NL, TB, chunkpf, grid = _derive_layout_resident(nb, halo, spec.W)
+
+    # Per-chunk device tables, shipped once per (engine, threshold).
+    def _ship():
+        masks = spec.masks_for(ks, k)
+        out = []
+        for ci, ((_p0, _p1, _offs, _ms, word_tbl, f_ids, f_col, f_shift,
+                  f_depth), (starts, match, init)) in enumerate(
+            zip(spec.chunks, masks)
+        ):
+            out.append((
+                jax.device_put(word_tbl),
+                jax.device_put(
+                    np.broadcast_to(
+                        starts[..., None], starts.shape + (NL,)
+                    ).copy()
+                ),
+                jax.device_put(
+                    np.broadcast_to(match[..., None], match.shape + (NL,)).copy()
+                ),
+                jax.device_put(
+                    np.broadcast_to(init[..., None], init.shape + (NL,)).copy()
+                ),
+                jax.device_put(f_ids),
+                jax.device_put(f_col),
+                jax.device_put(f_shift),
+                jax.device_put(f_depth),
+            ))
+        return tuple(out)
+
+    chunk_tabs = _dev_consts(engine, ("many-consts", NL, float(thr)), _ship)
+
+    dtabs = getattr(engine, "_dp_dev_tables", None)
+    if dtabs is None:
+        dtabs = (
+            jax.device_put(vf.depth),
+            jax.device_put(vf.node),
+            jax.device_put(vf.path_cls.reshape(-1)),
+            jax.device_put(vf.path_node.reshape(-1)),
+            jax.device_put(dense.out_list),
+            jax.device_put(dense.pat_len),
+            jax.device_put(dense.pat_weight),
+            jax.device_put(dense.sim.reshape(-1)),
+            jax.device_put(dense.sb_edge.reshape(-1)),
+            jax.device_put(dense.out_count),
+        )
+        engine._dp_dev_tables = dtabs
+    (dep_d, node_d, pcls_d, pnode_d, olist_d, plen_d, pw_d, sim_d,
+     sbe_d, ocnt_d) = dtabs
+    node_ceil = jax.device_put(ceil)
+
+    caps = _cap_cache(engine)
+    kh_key = ("many-KH", nb)
+    ca_key = ("many-CAND", nb)
+    kg_key = ("many-KG", nb)
+    KH = caps.get(kh_key, _fine_cap(max(1 << 13, nb >> 10)))
+    CAND = caps.get(ca_key, _fine_cap(max(1 << 14, nb >> 9)))
+    KG = caps.get(kg_key, _fine_cap(max(1 << 15, nb >> 11)))
+    MAX_EXPAND = 1 << 27
+    if KH * spec.F * (2 * E + 1) > MAX_EXPAND:
+        return None
+
+    import os as _os
+    import time as _time
+
+    _timing = _os.environ.get("FAC_TIME") == "1"
+
+    def _launch(ci, KH_, CAND_, KG_):
+        (word_tbl, sb, mb, ib, f_ids, f_col, f_shift, f_depth) = chunk_tabs[ci]
+        return _many_pipeline_jit(
+            ids_pf, ids_pf_w32, word_tbl, sb, mb, ib,
+            f_ids, f_col, f_shift, f_depth,
+            dep_d, node_d, pcls_d, pnode_d,
+            olist_d, plen_d, pw_d,
+            ids_dense, ids_dense_w32, np.int32(n), np.int32(0), np.int32(n),
+            sim_d, node_ceil, sbe_d, ocnt_d,
+            max_pen, pens.substitution, pens.insertion, pens.deletion,
+            pens.swap, engine.min_symbol_similarity, thr,
+            A=spec.A, W=spec.W, NL=NL, TB=TB, grid=grid, chunkpf=chunkpf,
+            halo=halo, k=k,
+            KH=KH_, CAND=CAND_, KG=KG_, E=E, Lmax=vf.max_depth,
+            C=dense.num_classes, MO=dense.max_out,
+            DEADEND=dense.has_multibyte_edges,
+        )
+
+    _t0 = _time.perf_counter()
+    pend = []
+    for ci in range(len(chunk_tabs)):
+        o = _launch(ci, KH, CAND, KG)
+        try:
+            o.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        pend.append((o, (KH, CAND, KG)))
+    if _timing:
+        jax.block_until_ready(pend[-1][0])
+        _t1 = _time.perf_counter()
+
+    bufs = []
+    mx_h = mx_c = mx_g = 0
+    sum_h = sum_c = 0
+    for ci in range(len(chunk_tabs)):
+        out_dev, (KH_u, CAND_u, KG_u) = pend[ci]
+        buf = jax.device_get(out_dev)
+        while True:
+            count_h, cand_count, total = (
+                int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
+            )
+            grew = False
+            if count_h > KH_u:
+                KH = KH_u = _fine_cap(count_h)
+                if KH * spec.F * (2 * E + 1) > MAX_EXPAND:
+                    return None
+                grew = True
+            if cand_count > CAND_u:
+                CAND = CAND_u = _fine_cap(cand_count)
+                grew = True
+            if total > KG_u:
+                KG = KG_u = _fine_cap(total)
+                grew = True
+            if not grew:
+                break
+            buf = jax.device_get(_launch(ci, KH_u, CAND_u, KG_u))
+        mx_h, mx_c, mx_g = max(mx_h, count_h), max(mx_c, cand_count), max(mx_g, total)
+        sum_h += count_h
+        sum_c += cand_count
+        bufs.append((buf, total))
+    _t2 = _time.perf_counter()
+    caps[kh_key] = max(caps.get(kh_key, 0), KH)
+    caps[ca_key] = max(caps.get(ca_key, 0), CAND)
+    caps[kg_key] = max(caps.get(kg_key, 0), KG)
+    for key_, cap_, actual_ in (
+        (kh_key, KH, mx_h), (ca_key, CAND, mx_c), (kg_key, KG, mx_g)
+    ):
+        tight = _fine_cap(actual_)
+        if 3 * tight <= 2 * cap_:
+            caps[key_] = tight
+
+    # One merged decode over all chunks: decode_matches lexsorts globally by
+    # (pattern, start, end), so the result order is canonical regardless of
+    # chunk order; duplicate emissions (a verify field shared by patterns in
+    # two chunks) collapse in its best-per-span pass with identical values.
+    rows = np.concatenate([buf[1 : 1 + total] for buf, total in bufs])
+    total = sum(t for _, t in bufs)
+    from .emit import decode_matches
+
+    _t3 = _time.perf_counter()
+    col2 = rows[:, 2].astype(np.int64)
+    c12 = col2 & 0xFFF
+    counts = (
+        (c12 & 7) | ((c12 >> 3) & 7) << 8 | ((c12 >> 6) & 7) << 16
+        | ((c12 >> 9) & 7) << 24
+    )
+    results = decode_matches(
+        engine, view, haystack, n,
+        rows[:, 0],
+        (col2 >> 24).astype(np.int32),
+        ((col2 >> 12) & 0xFFF).astype(np.int32),
+        rows[:, 1].copy().view(np.float32),
+        counts,
+        thr,
+    )
+    engine.last_stats = {
+        "backend": "device-fuzzy-many",
+        "hits": sum_h,
+        "candidates": sum_c,
+        "positions": int(n),
+        "emissions": total,
+        "matches": len(results),
+        "chunks": len(chunk_tabs),
+    }
+    if _timing:
+        import sys as _sys
+
+        engine.last_stats.update(
+            dispatch_ms=round((_t1 - _t0) * 1e3, 1),
+            readback_ms=round((_t2 - _t1) * 1e3, 1),
+            decode_ms=round((_time.perf_counter() - _t3) * 1e3, 1),
+            result_buf_kib=sum(b.nbytes for b, _ in bufs) >> 10,
+        )
+        print(
+            f"[FAC_TIME many] dispatch={(_t1 - _t0) * 1e3:.1f}ms "
+            f"readback={(_t2 - _t1) * 1e3:.1f}ms chunks={len(chunk_tabs)} "
+            f"KH={KH} CAND={CAND} KG={KG}",
+            file=_sys.stderr,
+        )
+    return results

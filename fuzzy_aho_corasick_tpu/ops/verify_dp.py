@@ -1281,7 +1281,7 @@ def _dp_pipeline_jit(
     ids_pf, ids_pf_w32, word_tbl, pf_starts, pf_match, pf_init,
     depth_arr, node_arr, path_cls_flat, path_node_flat,
     out_list, pat_len, pat_weight,
-    ids_dense, ids_dense_w32, limit,
+    ids_dense, ids_dense_w32, limit, start_lo, start_hi,
     sim_flat, node_ceil, sb_edge_flat, out_count_arr,
     node_caps_flat, limcls_arr,
     max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
@@ -1302,6 +1302,12 @@ def _dp_pipeline_jit(
 
     * row 0: ``[hit_count, cand_count, total_emissions]``
     * row 1+j: ``[start, penalty_bits, me<<24 | pattern<<12 | counts]``
+
+    ``start_lo``/``start_hi`` (traced) bound the candidate *start* positions
+    this dispatch owns — the sliced pipeline (see :func:`fuzzy_search_dp`)
+    scans overlapping corpus slices and keeps each match exactly once by its
+    start (reference stream-window ownership rule src/stream.rs:262-297);
+    the whole-corpus path passes (0, limit).
 
     ``STAGE`` truncates the pipeline for profiling (0 = packed hits only,
     1 = + candidate expansion, 2 = + banded DP, 3 = full); truncated stages
@@ -1328,7 +1334,7 @@ def _dp_pipeline_jit(
     if STAGE == 0:
         return _early(count_h, jnp.int32(0), words.astype(jnp.int32).sum())
     cand_count, cand_field, cand_start = _expand_candidates(
-        pos, words, jnp.int32(0), limit, limit, E, CAND, BITS, P2F, DEPTHS
+        pos, words, start_lo, start_hi, limit, E, CAND, BITS, P2F, DEPTHS
     )
     if STAGE == 1:
         return _early(count_h, cand_count, cand_start.sum())
@@ -1608,30 +1614,81 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     if np.float32(0.0) > max_pen:
         return []
 
-    ids_pf, ids_pf_w32, n_pf = device_corpus.resident_words(
-        haystack,
-        ("pk-fuzzy", _space_token(engine)),
-        lambda h: np.ascontiguousarray(pk.filt.transcode(h)[0], dtype=np.uint8),
-    )
+    # --- corpus residency: whole-corpus, or overlapped slices --------------
+    # Large corpora are cut into S overlapping slices dispatched as S
+    # independent pipeline calls (identical static shapes -> one compiled
+    # kernel). Slice i owns match *starts* in its core range; its buffer
+    # carries a left scan warm-up halo (pattern limb length + error budget,
+    # same fixpoint as the in-kernel lane halos) and a right completion halo
+    # (max depth + E) so owned matches end in-buffer. Ownership-by-start is
+    # the reference's stream-window rule (src/stream.rs:262-297). The payoff
+    # is pipelining: slice i+1's device compute overlaps slice i's result
+    # readback, which on tunneled hosts is ~40% of end-to-end search time.
     narrow = dense.num_classes <= 256
-    if narrow:
-        ids_dense, ids_dense_w32, n_d = device_corpus.resident_words(
-            haystack,
-            ("dense", _space_token(engine)),
+    tok = _space_token(engine)
+    import os as _os_sl
+
+    # Test override: tests force tiny slices to exercise the boundary
+    # ownership/halo logic on corpora that fit CPU runs.
+    SLICE_SYMS = int(_os_sl.environ.get("FAC_SLICE_SYMS", str(16 << 20)))
+    R_halo = vf.max_depth + E
+    use_slices = narrow and n >= SLICE_SYMS + (SLICE_SYMS >> 1)
+    if use_slices:
+        S = max(2, -(-n // SLICE_SYMS))
+        Q = -(-n // S)
+        bounds, meta = [], []
+        for si in range(S):
+            g0 = si * Q
+            g1 = min(n, g0 + Q)
+            base = max(0, g0 - halo)
+            end = min(n, g1 + R_halo)
+            bounds.append((base, end - base))
+            meta.append((base, g0 - base, g1 - base, end - base))
+        pad_len = device_corpus.bucket_len(
+            max(ln for _, ln in bounds) + device_corpus.TAIL_MARGIN
+        )
+        pf_slices = device_corpus.resident_words_sliced(
+            haystack, ("pk-fuzzy", tok),
+            lambda h: np.ascontiguousarray(pk.filt.transcode(h)[0], dtype=np.uint8),
+            tuple(bounds), pad_len,
+        )
+        de_slices = device_corpus.resident_words_sliced(
+            haystack, ("dense", tok),
             lambda h: np.ascontiguousarray(dense.transcode(h, view), dtype=np.uint8),
+            tuple(bounds), pad_len,
         )
+        # (ids_pf, pf_w32, ids_dense, dense_w32, local_n, lo, hi, base)
+        parts = [
+            (pf[0], pf[1], de[0], de[1], m[3], m[1], m[2], m[0])
+            for pf, de, m in zip(pf_slices, de_slices, meta)
+        ]
+        nb = pad_len
     else:
-        ids_dense, n_d = device_corpus.resident(
+        ids_pf, ids_pf_w32, n_pf = device_corpus.resident_words(
             haystack,
-            ("dense", _space_token(engine)),
-            lambda h: np.ascontiguousarray(dense.transcode(h, view), dtype=np.int32),
+            ("pk-fuzzy", tok),
+            lambda h: np.ascontiguousarray(pk.filt.transcode(h)[0], dtype=np.uint8),
         )
-        import jax.numpy as _jnp
+        if narrow:
+            ids_dense, ids_dense_w32, n_d = device_corpus.resident_words(
+                haystack,
+                ("dense", tok),
+                lambda h: np.ascontiguousarray(dense.transcode(h, view), dtype=np.uint8),
+            )
+        else:
+            ids_dense, n_d = device_corpus.resident(
+                haystack,
+                ("dense", tok),
+                lambda h: np.ascontiguousarray(dense.transcode(h, view), dtype=np.int32),
+            )
+            import jax.numpy as _jnp
 
-        ids_dense_w32 = _jnp.zeros((0, 8), _jnp.uint32)
-    assert n_pf == n_d == n
+            ids_dense_w32 = _jnp.zeros((0, 8), _jnp.uint32)
+        assert n_pf == n_d == n
+        parts = [(ids_pf, ids_pf_w32, ids_dense, ids_dense_w32, n, 0, n, 0)]
+        nb = ids_pf.size
 
-    NL, TB, chunkpf, grid = _derive_layout_resident(ids_pf.size, halo, pk.W)
+    NL, TB, chunkpf, grid = _derive_layout_resident(nb, halo, pk.W)
     tbl, sb, mb, ib = _dev_consts(
         engine,
         ("anchor-consts", NL, float(thr)),
@@ -1695,7 +1752,6 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
             typed.swap_src, typed.root_caps, typed.cnts, typed.adm,
         )
 
-    nb = ids_pf.size
     caps = _cap_cache(engine)
     kh_key = ("dp-KH", nb)
     ca_key = ("dp-CAND", nb)
@@ -1718,62 +1774,94 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     # results (and the ratchet-down below would then shrink cached caps to
     # the floor based on the truncated counts).
     _stage = int(_os.environ.get("FAC_DP_STAGE", "3")) if _timing else 3
-    while True:
-        _t0 = _time.perf_counter()
-        out_dev = _dp_pipeline_jit(
-                ids_pf, ids_pf_w32, tbl, sb, mb, ib,
-                dep_d, node_d, pcls_d, pnode_d,
-                olist_d, plen_d, pw_d,
-                ids_dense, ids_dense_w32, np.int32(n),
-                sim_d, node_ceil, sbe_d, ocnt_d,
-                ncaps_d, limcls_d,
-                max_pen, pens.substitution, pens.insertion, pens.deletion,
-                pens.swap, engine.min_symbol_similarity, thr,
-                A=pk.A, W=pk.W, NL=NL, TB=TB, grid=grid, chunkpf=chunkpf,
-                halo=halo, k=k,
-                KH=KH, CAND=CAND, KG=KG, E=E, Lmax=vf.max_depth,
-                C=dense.num_classes, MO=dense.max_out,
-                BITS=BITS, P2F=P2F, DEPTHS=DEPTHS,
-                # Last-edit dead-end filters are FAST-path oracle semantics
-                # (src/search.rs:204-393 monomorphization); typed and
-                # forbid configs run the general path, which has none.
-                DEADEND=dense.has_multibyte_edges and typed is None
-                and forbid is None,
-                TYPED=TYPED,
-                STAGE=_stage,
-                CONSTS=SCAN_CONSTS,
-                MAPS=maps.maps if maps is not None else None,
-                FORBID=None if forbid is None else tuple(forbid[1:]),
-        )
-        if _timing:
-            out_dev = jax.block_until_ready(out_dev)
-            _t1 = _time.perf_counter()
-        buf = jax.device_get(out_dev)
-        _t2 = _time.perf_counter()
-        if _timing:
-            import sys as _sys
 
-            print(
-                f"[FAC_TIME dp] dispatch={(_t1 - _t0) * 1e3:.1f}ms "
-                f"readback={(_t2 - _t1) * 1e3:.1f}ms "
-                f"buf={buf.nbytes >> 10}KiB KH={KH} CAND={CAND} KG={KG}",
-                file=_sys.stderr,
+    def _launch(part, KH_, CAND_, KG_):
+        p_pf, p_pfw, p_de, p_dew, ln, lo, hi, _base = part
+        return _dp_pipeline_jit(
+            p_pf, p_pfw, tbl, sb, mb, ib,
+            dep_d, node_d, pcls_d, pnode_d,
+            olist_d, plen_d, pw_d,
+            p_de, p_dew, np.int32(ln), np.int32(lo), np.int32(hi),
+            sim_d, node_ceil, sbe_d, ocnt_d,
+            ncaps_d, limcls_d,
+            max_pen, pens.substitution, pens.insertion, pens.deletion,
+            pens.swap, engine.min_symbol_similarity, thr,
+            A=pk.A, W=pk.W, NL=NL, TB=TB, grid=grid, chunkpf=chunkpf,
+            halo=halo, k=k,
+            KH=KH_, CAND=CAND_, KG=KG_, E=E, Lmax=vf.max_depth,
+            C=dense.num_classes, MO=dense.max_out,
+            BITS=BITS, P2F=P2F, DEPTHS=DEPTHS,
+            # Last-edit dead-end filters are FAST-path oracle semantics
+            # (src/search.rs:204-393 monomorphization); typed and
+            # forbid configs run the general path, which has none.
+            DEADEND=dense.has_multibyte_edges and typed is None
+            and forbid is None,
+            TYPED=TYPED,
+            STAGE=_stage,
+            CONSTS=SCAN_CONSTS,
+            MAPS=maps.maps if maps is not None else None,
+            FORBID=None if forbid is None else tuple(forbid[1:]),
+        )
+
+    # Dispatch every slice back-to-back (async), then start each result's
+    # host copy as soon as it is enqueued: the device computes slice i+1
+    # while slice i's buffer crosses the link. A slice that overflowed its
+    # capacities is re-dispatched alone with grown caps (its buffer header
+    # carries the true counts); later slices launched with the old caps
+    # re-check against the caps they were BUILT with.
+    _t0 = _time.perf_counter()
+    pend = []
+    for part in parts:
+        o = _launch(part, KH, CAND, KG)
+        try:
+            o.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
+        pend.append((o, (KH, CAND, KG)))
+    if _timing:
+        jax.block_until_ready(pend[-1][0])
+        _t1 = _time.perf_counter()
+
+    bufs = []
+    mx_h = mx_c = mx_g = 0
+    sum_h = sum_c = 0
+    for pi, part in enumerate(parts):
+        out_dev, (KH_u, CAND_u, KG_u) = pend[pi]
+        buf = jax.device_get(out_dev)
+        while True:
+            count_h, cand_count, total = (
+                int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
             )
-        count_h, cand_count, total = int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
-        grew = False
-        if count_h > KH:
-            KH = _fine_cap(count_h)
-            if KH * n_combo > MAX_EXPAND:
-                return None  # unselective scan: decline, caller falls back
-            grew = True
-        if cand_count > CAND:
-            CAND = _fine_cap(cand_count)
-            grew = True
-        if total > KG:
-            KG = _fine_cap(total)
-            grew = True
-        if not grew:
-            break
+            grew = False
+            if count_h > KH_u:
+                KH = KH_u = _fine_cap(count_h)
+                if KH * n_combo > MAX_EXPAND:
+                    return None  # unselective scan: decline, caller falls back
+                grew = True
+            if cand_count > CAND_u:
+                CAND = CAND_u = _fine_cap(cand_count)
+                grew = True
+            if total > KG_u:
+                KG = KG_u = _fine_cap(total)
+                grew = True
+            if not grew:
+                break
+            buf = jax.device_get(_launch(part, KH_u, CAND_u, KG_u))
+        mx_h, mx_c, mx_g = max(mx_h, count_h), max(mx_c, cand_count), max(mx_g, total)
+        sum_h += count_h
+        sum_c += cand_count
+        bufs.append((buf, total))
+    _t2 = _time.perf_counter()
+    if _timing:
+        import sys as _sys
+
+        print(
+            f"[FAC_TIME dp] dispatch={(_t1 - _t0) * 1e3:.1f}ms "
+            f"readback={(_t2 - _t1) * 1e3:.1f}ms "
+            f"buf={sum(b.nbytes for b, _ in bufs) >> 10}KiB "
+            f"slices={len(parts)} KH={KH} CAND={CAND} KG={KG}",
+            file=_sys.stderr,
+        )
     caps[kh_key] = max(caps.get(kh_key, 0), KH)
     caps[ca_key] = max(caps.get(ca_key, 0), CAND)
     caps[kg_key] = max(caps.get(kg_key, 0), KG)
@@ -1782,18 +1870,28 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     # static capacities, and the corpus-scaled initial guesses above can
     # overshoot the real hit rate by 2x+. The next search recompiles once at
     # the tight shape (persistent-cache-friendly) and every search after
-    # that keeps it; a hotter corpus just re-enters the grow loop.
+    # that keeps it; a hotter corpus just re-enters the grow loop. Sliced
+    # runs ratchet to the max count over slices (one shape serves them all).
     if _stage == 3:  # truncated profiling runs must not shrink cached caps
         for key_, cap_, actual_ in (
-            (kh_key, KH, count_h),
-            (ca_key, CAND, cand_count),
-            (kg_key, KG, total),
+            (kh_key, KH, mx_h),
+            (ca_key, CAND, mx_c),
+            (kg_key, KG, mx_g),
         ):
             tight = _fine_cap(actual_)
             if 3 * tight <= 2 * cap_:
                 caps[key_] = tight
 
-    rows = buf[1 : 1 + total]
+    row_parts = []
+    for (buf, total), part in zip(bufs, parts):
+        rows = buf[1 : 1 + total]
+        base = part[7]
+        if base and total:
+            rows = rows.copy()
+            rows[:, 0] += base  # slice-local starts -> global graphemes
+        row_parts.append(rows)
+    rows = row_parts[0] if len(row_parts) == 1 else np.concatenate(row_parts)
+    total = sum(t for _, t in bufs)
     from .emit import decode_matches
 
     _t3 = _time.perf_counter()
@@ -1827,18 +1925,19 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
             else "device-fuzzy-dp-forbid" if forbid is not None
             else "device-fuzzy-dp"
         ),
-        "hits": count_h,
-        "candidates": cand_count,
+        "hits": sum_h,
+        "candidates": sum_c,
         "positions": int(n),
         "emissions": total,
         "matches": len(results),
+        "slices": len(parts),
     }
     if _timing:
         engine.last_stats.update(
             dispatch_ms=round((_t1 - _t0) * 1e3, 1),
             readback_ms=round((_t2 - _t1) * 1e3, 1),
             decode_ms=round((_time.perf_counter() - _t3) * 1e3, 1),
-            result_buf_kib=buf.nbytes >> 10,
+            result_buf_kib=sum(b.nbytes for b, _ in bufs) >> 10,
         )
     return results
 

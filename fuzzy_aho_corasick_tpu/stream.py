@@ -408,6 +408,159 @@ def search_stream_parallel(
     return wr.total
 
 
+def _batch_replace_owned(engine, windows: List[_StreamWindow], threshold: float):
+    """Per-window owned, non-overlapping, position-sorted match lists for
+    replacement — ONE batched device search, struct-of-arrays throughout.
+
+    The object path (:func:`_batch_window_matches` + per-window
+    ``FuzzyMatches.apply``) constructs a FuzzyMatch per raw emission and
+    sorts Python objects; at streaming match densities that Python work
+    dominates the wall clock. Here the windowing, Default ranking and the
+    greedy non-overlap pass all run on the search's SoA columns (reference
+    semantics: src/matches.rs:24-38 ranking, 86-112 interval scheduling,
+    src/stream.rs:496-517 ownership) and only the finally-kept matches are
+    materialized for the user callback.
+    """
+    import bisect as _bisect
+
+    from .structs import LazyMatchList
+
+    sep_char = _separator_char(engine)
+    if sep_char is None or len(windows) == 1:
+        return [
+            _window_replace_matches(engine, w.text, w.commit, threshold)
+            for w in windows
+        ]
+    sep = sep_char * (engine.max_match_graphemes() + 1)
+    sep_blen = len(sep)
+    offs: List[int] = []
+    pos = 0
+    parts: List[str] = []
+    for w in windows:
+        offs.append(pos)
+        pos += len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)
+        parts.append(w.text)
+        pos += sep_blen
+        parts.append(sep)
+    super_text = "".join(parts)
+
+    raw = engine.search_raw(super_text, threshold)
+    if not (isinstance(raw, LazyMatchList) and raw.unmaterialized):
+        # Host-oracle result (plain objects): the classic per-window path.
+        per = _split_super_matches(engine, windows, offs, raw)
+        out = []
+        for w, ms in zip(windows, per):
+            fm = _apply_window(engine, w.text, ms)
+            owned = [m for m in fm if m.start < w.commit]
+            owned.sort(key=lambda m: (m.start, m.end))
+            out.append(owned)
+        return out
+
+    import numpy as np
+
+    s, e, pat, sim, plens = raw.columns()
+    cnts = np.asarray(raw._cnts)
+    los = np.asarray(offs, dtype=np.int64)
+    his = los + np.asarray(
+        [
+            len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)
+            for w in windows
+        ],
+        dtype=np.int64,
+    )
+    wi = np.searchsorted(los, s, side="right") - 1
+    wis = np.maximum(wi, 0)
+    ok = (wi >= 0) & (s >= los[wis]) & (e <= his[wis])
+    if not ok.any():
+        return [[] for _ in windows]
+    s, e, pat, sim, plens, cnts, wi = (
+        s[ok], e[ok], pat[ok], sim[ok], plens[ok], cnts[ok], wi[ok]
+    )
+    sl = s - los[wi]
+    el = e - los[wi]
+
+    # Default order within each window (window-major lexsort): similarity
+    # desc, pattern len desc, text len desc, start, end, pattern index.
+    order = np.lexsort(
+        (pat, el, sl, -(el - sl), -plens, -sim.astype(np.float64), wi)
+    )
+    # Greedy interval scheduling per window in that order.
+    w_starts: dict[int, list] = {}
+    w_ends: dict[int, list] = {}
+    kept_per_w: dict[int, list] = {}
+    sl_o, el_o, wi_o = sl[order], el[order], wi[order]
+    for r in range(len(order)):
+        w = int(wi_o[r])
+        ss, ee = int(sl_o[r]), int(el_o[r])
+        starts = w_starts.setdefault(w, [])
+        ends = w_ends.setdefault(w, [])
+        p = _bisect.bisect_left(starts, ss)
+        if (p == 0 or ends[p - 1] <= ss) and (p == len(starts) or starts[p] >= ee):
+            starts.insert(p, ss)
+            ends.insert(p, ee)
+            kept_per_w.setdefault(w, []).append(int(order[r]))
+
+    hb = raw._hay_bytes
+    patterns = raw._patterns
+    out: List[List[FuzzyMatch]] = []
+    for widx, w in enumerate(windows):
+        rows = kept_per_w.get(widx)
+        if not rows:
+            out.append([])
+            continue
+        # ownership + final (start, end) order (starts are unique post
+        # non-overlap, so a start sort is total)
+        rows = [r for r in rows if int(s[r] - los[widx]) < w.commit]
+        rows.sort(key=lambda r: int(s[r]))
+        ms = []
+        for r in rows:
+            cn = int(cnts[r])
+            ins, de = cn & 0xFF, (cn >> 8) & 0xFF
+            su, sw = (cn >> 16) & 0xFF, (cn >> 24) & 0xFF
+            gs, ge = int(s[r]), int(e[r])
+            p_ = int(pat[r])
+            ms.append(
+                FuzzyMatch(
+                    insertions=ins, deletions=de, substitutions=su, swaps=sw,
+                    edits=ins + de + su + sw, pattern_index=p_,
+                    pattern=patterns[p_], start=gs - int(los[widx]),
+                    end=ge - int(los[widx]), similarity=sim[r],
+                    text=hb[gs:ge].decode("utf-8"),
+                )
+            )
+        out.append(ms)
+    return out
+
+
+def _split_super_matches(engine, windows, offs, raw):
+    """Split a superwindow's raw object matches back to per-window lists
+    (rebased); shared by the object fallback paths."""
+    import bisect
+
+    bounds = [
+        (offs[i], offs[i] + (len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)))
+        for i, w in enumerate(windows)
+    ]
+    starts = [b[0] for b in bounds]
+    per: List[List[FuzzyMatch]] = [[] for _ in windows]
+    for m in raw:
+        i = bisect.bisect_right(starts, m.start) - 1
+        if i < 0:
+            continue
+        lo, hi = bounds[i]
+        if m.start >= lo and m.end <= hi:
+            per[i].append(
+                FuzzyMatch(
+                    insertions=m.insertions, deletions=m.deletions,
+                    substitutions=m.substitutions, swaps=m.swaps, edits=m.edits,
+                    pattern_index=m.pattern_index, pattern=m.pattern,
+                    start=m.start - lo, end=m.end - lo,
+                    similarity=m.similarity, text=m.text,
+                )
+            )
+    return per
+
+
 def _window_replace_matches(engine, text: str, commit: int, threshold: float) -> List[FuzzyMatch]:
     """The matches a window owns for replacement: non-overlapping, start <
     commit, sorted by position (reference src/stream.rs:496-517)."""
@@ -478,18 +631,32 @@ def replace_stream_parallel(engine, reader, writer, shards: int, threshold: floa
     """
     shards = max(1, shards)
     wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
-    prod = _WindowProducer(wr, depth=2 * shards)
+    prod = _WindowProducer(wr, depth=4 * shards)
     cursor = _ReplaceCursor()
-    while True:
-        batch_windows = prod.next_batch(shards)
-        if not batch_windows:
-            break
-        # Search phase: one batched device dispatch (the reference's worker
-        # pool); reassembly strictly in stream order on the calling thread
-        # (the seq-tagged collector, src/stream.rs:603-630).
-        batches = _batch_window_matches(engine, batch_windows, threshold)
-        for w, ms in zip(batch_windows, batches):
-            owned = [m for m in ms if m.start < w.commit]
-            owned.sort(key=lambda m: (m.start, m.end))
-            cursor.emit_window(writer, callback, w.base, w.text, w.commit, owned)
+    # Two-deep pipeline: a single search thread runs batch i+1's device
+    # dispatch while the calling thread reassembles batch i's output —
+    # search and (strictly in-stream-order) writing overlap, the reference's
+    # worker pool + seq-tagged collector shape (src/stream.rs:533-638).
+    # Batches take up to 2x shards windows: the kernels are data-parallel
+    # over starts, so a wider batch is pure dispatch-overhead amortization.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        held: List[_StreamWindow] = []
+        while True:
+            batch_windows = prod.next_batch(2 * shards)
+            nfut = (
+                pool.submit(_batch_replace_owned, engine, batch_windows, threshold)
+                if batch_windows
+                else None
+            )
+            if fut is not None:
+                for w, owned in zip(held, fut.result()):
+                    cursor.emit_window(
+                        writer, callback, w.base, w.text, w.commit, owned
+                    )
+            if nfut is None:
+                break
+            fut, held = nfut, batch_windows
     return cursor.written

@@ -137,6 +137,78 @@ def resident_words(
     return ids, w32, n
 
 
+def resident_words_sliced(
+    haystack: str,
+    space: tuple,
+    transcode: Callable[[str], np.ndarray],
+    bounds: Tuple[Tuple[int, int], ...],
+    pad_len: int,
+):
+    """Overlapping corpus *slices* as device buffers (uint8 spaces only).
+
+    ``bounds`` is a tuple of ``(base, local_n)`` grapheme ranges —
+    ``ids[base : base + local_n]`` zero-padded to the common static
+    ``pad_len`` (multiple of 32, so the u32 word view packs cleanly).
+    Transcodes the whole haystack at most once per (content, space) miss and
+    ships each slice at most once. Returns ``[(ids_dev, w32_dev), ...]``.
+
+    The sliced fuzzy pipeline (ops/verify_dp.fuzzy_search_dp) uses this to
+    dispatch one kernel per slice with identical static shapes, overlapping
+    slice *i*'s device compute with slice *i-1*'s result readback — on
+    tunneled hosts the readback is ~40% of end-to-end search time and this
+    hides essentially all of it.
+    """
+    import jax
+
+    global _held_bytes, _pack_w32
+    res: list = [None] * len(bounds)
+    missing = []
+    hkey = (hash(haystack), len(haystack))
+    for i, (base, ln) in enumerate(bounds):
+        key = hkey + (space, "sl", base, ln, pad_len)
+        hit = _lru.get(key)
+        if hit is not None and (hit[0] is haystack or hit[0] == haystack):
+            _lru.move_to_end(key)
+            res[i] = hit[1]
+        else:
+            missing.append(i)
+    if not missing:
+        return res
+
+    if _pack_w32 is None:
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _pack(i8):
+            return jax.lax.bitcast_convert_type(
+                i8.reshape(-1, 4), jnp.uint32
+            ).reshape(-1, 8)
+
+        globals()["_pack_w32"] = _pack
+        _pack_w32 = _pack
+
+    ids_full = transcode(haystack)
+    assert ids_full.dtype == np.uint8, "sliced residency is uint8-space only"
+    for i in missing:
+        base, ln = bounds[i]
+        pad = np.zeros(pad_len, dtype=np.uint8)
+        pad[:ln] = ids_full[base : base + ln]
+        dev = jax.device_put(pad)
+        w32 = _pack_w32(dev)
+        pair = (dev, w32)
+        res[i] = pair
+        _held_bytes += pad_len * 5  # u8 ids + u32 view
+        _lru[hkey + (space, "sl", base, ln, pad_len)] = (haystack, pair, ln)
+    while _held_bytes > CAPACITY_BYTES and len(_lru) > 1:
+        _, (_, old_dev, _old_n) = _lru.popitem(last=False)
+        if isinstance(old_dev, tuple):
+            _held_bytes -= sum(a.size * a.dtype.itemsize for a in old_dev)
+        else:
+            _held_bytes -= old_dev.size * old_dev.dtype.itemsize
+        del old_dev
+    return res
+
+
 def clear() -> None:
     """Drop every cached device buffer (tests / memory pressure)."""
     global _held_bytes

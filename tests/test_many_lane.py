@@ -1,0 +1,92 @@
+"""Large-dictionary chunked lane (ops/many): oracle parity.
+
+The reference serves thousands of patterns from one monomorphized loop
+(src/search.rs:418-1119; benches/benchmark.rs:45-76 search_many_patterns).
+The TPU analog chunks the dictionary across reusable uniform-shape kernels;
+these tests check chunking engages (single-kernel packing declines) and the
+merged result is oracle-identical.
+"""
+
+import numpy as np
+import pytest
+
+from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits, oracle
+from fuzzy_aho_corasick_tpu.ops.many import fuzzy_search_many, many_spec_of
+from fuzzy_aho_corasick_tpu.ops.packed_bitap import packed_fuzzy_of
+from fuzzy_aho_corasick_tpu.utils.graphemes import view_of
+
+
+def _key(m):
+    return (m.pattern_index, m.start, m.end, float(m.similarity))
+
+
+def _dictionary(n_pat: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    return sorted({
+        "".join(alphabet[i] for i in rng.integers(0, 26, size=int(m)))
+        for m in rng.integers(6, 12, size=n_pat)
+    })
+
+
+def _corpus(dictionary, size: int, seed: int = 11) -> str:
+    rng = np.random.default_rng(seed)
+    words = ["lorem", "ipsum", "dolor", "sit", "amet"]
+    parts, total = [], 0
+    while total < size:
+        w = words[int(rng.integers(len(words)))]
+        if rng.integers(13) == 0:
+            w = dictionary[int(rng.integers(len(dictionary)))]
+            if rng.integers(2) == 0 and len(w) > 3:
+                i = int(rng.integers(1, len(w) - 1))
+                w = w[:i] + ("q" if w[i] != "q" else "z") + w[i + 1:]
+        parts.append(w)
+        total += len(w) + 1
+    return " ".join(parts)
+
+
+def test_many_lane_matches_oracle():
+    many = _dictionary(120)
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(many)
+    )
+    # The whole point: the single-kernel packing cannot hold this dictionary.
+    assert packed_fuzzy_of(engine) is None
+    spec = many_spec_of(engine)
+    assert spec is not None and len(spec.chunks) >= 2
+
+    hay = _corpus(many, 30_000)
+    view = view_of(hay, True)
+    res = fuzzy_search_many(engine, hay, 0.82, view, len(view))
+    assert res is not None
+    assert engine.last_stats["backend"] == "device-fuzzy-many"
+    assert engine.last_stats["chunks"] == len(spec.chunks)
+    orc = oracle.search_raw(engine, hay, 0.82)
+    assert sorted(map(_key, res)) == sorted(map(_key, orc))
+    assert len(res) > 50  # the corpus really contains planted needles
+
+
+@pytest.mark.slow
+def test_many_lane_shared_suffix_fields():
+    """Patterns that are suffixes of others share verify fields across
+    chunks; duplicate emissions must collapse to the oracle's result."""
+    many = _dictionary(90, seed=3)
+    # plant suffix pairs far apart so they land in different chunks
+    many = sorted(set(many) | {w[2:] for w in many[:10] if len(w) > 7})
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(many)
+    )
+    if packed_fuzzy_of(engine) is not None:
+        pytest.skip("dictionary fit a single kernel; chunking not engaged")
+    hay = _corpus(many, 20_000, seed=5)
+    view = view_of(hay, True)
+    res = fuzzy_search_many(engine, hay, 0.8, view, len(view))
+    assert res is not None
+    orc = oracle.search_raw(engine, hay, 0.8)
+    assert sorted(map(_key, res)) == sorted(map(_key, orc))
