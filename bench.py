@@ -263,38 +263,44 @@ def run_extras(detail, corpus, fengine, dictionary):
         except Exception as e:  # pragma: no cover - bench resilience
             detail["mapped_error"] = repr(e)
 
-    # Parallel streaming replace throughput (reference replace_bench.rs).
-    if budget_ok("replace_stream_parallel", 120.0):
+    # Parallel streaming replace throughput (reference replace_bench.rs):
+    # the FuzzyReplacer form — a pattern-indexed replacement table — which
+    # rides the vectorized no-objects emit lane. Streams the full corpus so
+    # the producer/search/emit pipeline reaches steady state.
+    if budget_ok("replace_stream_parallel", 150.0):
         try:
             import io
 
+            table = ["<x>"] * 16
+            src = corpus.encode()
+            n_src = len(src)
             # Two full warm passes: the first compiles every superwindow
             # shape the stream produces, the second lands the capacity
             # ratchet-down recompiles — the timed pass then measures steady
-            # state (measured: 59 s / 24 s / 15 s / 1.3 s per pass on chip).
+            # state.
             for _ in range(2):
                 fengine.replace_stream_parallel(
-                    io.BytesIO(sub.encode()), io.BytesIO(), 64, 0.8,
-                    lambda m: "<x>",
+                    io.BytesIO(src), io.BytesIO(), 64, 0.8, table
                 )
-            t0 = time.time()
-            out = io.BytesIO()
-            fengine.replace_stream_parallel(
-                io.BytesIO(sub.encode()), out, 64, 0.8, lambda m: "<x>"
-            )
-            dt = time.time() - t0
-            detail["replace_stream_parallel_bps"] = round(sn / dt)
-            _log(f"replace_stream_parallel: {sn / dt / 1e6:.0f} MB/s")
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                out = io.BytesIO()
+                fengine.replace_stream_parallel(
+                    io.BytesIO(src), out, 64, 0.8, table
+                )
+                best = min(best, time.time() - t0)
+            detail["replace_stream_parallel_bps"] = round(n_src / best)
+            _log(f"replace_stream_parallel: {n_src / best / 1e6:.0f} MB/s")
         except Exception as e:  # pragma: no cover - bench resilience
             detail["replace_stream_parallel_error"] = repr(e)
 
 
-    # 1k-pattern dictionary scan (seed-filter / packed lane). LAST: its
-    # kernel has repeatedly needed >850 s of cold AOT compile — everything
-    # cheaper must land first.
-    # Its chunked-kernel compile has repeatedly needed >35 minutes of AOT
-    # service time; only attempt it when the caller grants that much.
-    if budget_ok("many1k", 2400.0):
+    # 1k-pattern dictionary scan (pattern-chunked lane, ops/many): ONE
+    # uniform-shape kernel compile serves every chunk, so the old >35 min
+    # per-dictionary AOT cliff is gone; 240 s covers a cold compile plus the
+    # chunk sweep.
+    if budget_ok("many1k", 240.0):
         try:
             rng = np.random.default_rng(7)
             alphabet = "abcdefghijklmnopqrstuvwxyz"

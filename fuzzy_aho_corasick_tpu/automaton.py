@@ -118,12 +118,54 @@ class FuzzyAhoCorasick:
         if self.backend == "oracle":
             return oracle.search_raw(self, haystack, threshold)
         if self.backend == "auto" and len(haystack) < self.AUTO_DEVICE_MIN:
-            return oracle.search_raw(self, haystack, threshold)
+            return self._host_search(haystack, threshold)
         dev = self._device_engine()
         if dev.supports(haystack):
             return dev.search_raw(haystack, threshold)
         if self.backend == "device":
             raise RuntimeError("device backend does not support this configuration")
+        if len(haystack) >= (1 << 20):
+            self._warn_host_cliff(len(haystack))
+        return self._host_search(haystack, threshold)
+
+    def _warn_host_cliff(self, nbytes: int) -> None:
+        """One-time warning when a large haystack silently takes the host
+        path because the configuration is outside every device lane's
+        envelope — throughput drops orders of magnitude and the caller
+        should know why (docs/performance.md lists per-config expectations)."""
+        if getattr(self, "_host_cliff_warned", False):
+            return
+        self._host_cliff_warned = True
+        import warnings
+
+        reasons = []
+        if self.mappings:
+            reasons.append("multi-char mappings outside the mapped-lane model")
+        if self.has_pattern_limits or (
+            self.limits is not None and self.max_edits_fast not in range(1, 7)
+        ):
+            reasons.append("per-type/per-pattern limits outside the typed-lane model")
+        if not reasons:
+            reasons.append("configuration outside the device lanes' envelope")
+        warnings.warn(
+            f"search of a {nbytes >> 20} MiB haystack is running on the host "
+            f"({'; '.join(reasons)}); expect orders-of-magnitude lower "
+            "throughput than the device path — see docs/performance.md",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+    def _host_search(self, haystack: str, threshold: float) -> List[FuzzyMatch]:
+        """Host path: the native-C BFS lane when the configuration fits its
+        envelope (the reference's monomorphized hot loop in native code,
+        src/search.rs:418-1119), else the pure-Python oracle. ``backend =
+        "oracle"`` bypasses this so differential tests keep an independent
+        reference implementation."""
+        from .ops import native_bfs
+
+        res = native_bfs.search_raw(self, haystack, threshold)
+        if res is not None:
+            return res
         return oracle.search_raw(self, haystack, threshold)
 
     def search(self, haystack: str, opts: SearchOptions) -> FuzzyMatches:

@@ -237,9 +237,15 @@ class DenseAutomaton:
         """
         if haystack.isascii():
             return self.transcode_ascii(haystack)
-        from ..utils.graphemes import HaystackView
+        from ..utils.graphemes import HaystackView, map_singleton_chars
 
         if view is None:
             view = HaystackView(haystack, self.case_insensitive)
+        fast = map_singleton_chars(
+            view, self.char_class,
+            dtype=np.uint8 if self.num_classes <= 256 else np.int32,
+        )
+        if fast is not None:
+            return fast
         get = self.char_class.get
         return np.asarray([get(c, 0) for c in view.chars()], dtype=np.int32)

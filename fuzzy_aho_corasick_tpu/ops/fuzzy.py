@@ -882,24 +882,27 @@ def fuzzy_search_device(engine, haystack: str, threshold: float, view=None) -> L
     # one jit dispatch + one device_get) — the fast lane for packed-prefilter
     # engines at any fast-path edit budget. ~(2E+1) x depth cell updates per
     # candidate vs ~pool x rounds for the beam kernels below.
-    if n >= FILTER_MIN_N:
-        from .verify_dp import fuzzy_search_dp
+    # No minimum size gate: small searches share the smallest resident
+    # bucket's compiled shape, and a ~5 ms DP dispatch beats the beam
+    # kernels' padded NCHUNK start grid by orders of magnitude on tiny
+    # forced-device inputs (the 'auto' backend serves those from the host).
+    from .verify_dp import fuzzy_search_dp
 
-        dp = fuzzy_search_dp(engine, haystack, threshold, view, n)
-        if dp is not None:
-            return dp
+    dp = fuzzy_search_dp(engine, haystack, threshold, view, n)
+    if dp is not None:
+        return dp
 
-        # Large dictionaries: the single-kernel packing itself fails (total
-        # pattern bits past the limb budget) -> the pattern-chunked lane,
-        # whose compile cost is independent of dictionary size (ops/many).
-        from .packed_bitap import packed_fuzzy_of
+    # Large dictionaries: the single-kernel packing itself fails (total
+    # pattern bits past the limb budget) -> the pattern-chunked lane,
+    # whose compile cost is independent of dictionary size (ops/many).
+    from .packed_bitap import packed_fuzzy_of
 
-        if packed_fuzzy_of(engine) is None:
-            from .many import fuzzy_search_many
+    if packed_fuzzy_of(engine) is None:
+        from .many import fuzzy_search_many
 
-            res = fuzzy_search_many(engine, haystack, threshold, view, n)
-            if res is not None:
-                return res
+        res = fuzzy_search_many(engine, haystack, threshold, view, n)
+        if res is not None:
+            return res
 
     # Fused single-dispatch pipeline (anchors + beam + compaction in one jit,
     # one device_get) for E=1 with the packed prefilter; everything else

@@ -388,7 +388,9 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
         engine._dp_dev_tables = dtabs
     (dep_d, node_d, pcls_d, pnode_d, olist_d, plen_d, pw_d, sim_d,
      sbe_d, ocnt_d) = dtabs
-    node_ceil = jax.device_put(ceil)
+    node_ceil = _dev_consts(
+        engine, ("node-ceil", float(thr)), lambda: jax.device_put(ceil)
+    )
 
     caps = _cap_cache(engine)
     kh_key = ("many-KH", nb)
@@ -425,9 +427,11 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
         )
 
     _t0 = _time.perf_counter()
+    from .verify_dp import _retry_transient
+
     pend = []
     for ci in range(len(chunk_tabs)):
-        o = _launch(ci, KH, CAND, KG)
+        o = _retry_transient(lambda: _launch(ci, KH, CAND, KG))
         try:
             o.copy_to_host_async()
         except (AttributeError, RuntimeError):
@@ -461,7 +465,9 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
                 grew = True
             if not grew:
                 break
-            buf = jax.device_get(_launch(ci, KH_u, CAND_u, KG_u))
+            buf = jax.device_get(
+                _retry_transient(lambda: _launch(ci, KH_u, CAND_u, KG_u))
+            )
         mx_h, mx_c, mx_g = max(mx_h, count_h), max(mx_c, cand_count), max(mx_g, total)
         sum_h += count_h
         sum_c += cand_count

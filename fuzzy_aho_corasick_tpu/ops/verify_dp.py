@@ -130,6 +130,23 @@ class VerifyFields:
                             pat2field, nf_max)
 
 
+def _retry_transient(fn):
+    """Run ``fn()``, retrying once after a short pause when the remote
+    compile service drops the connection mid-stream (tunneled AOT rigs flake
+    under load; one retry reliably recovers and beats failing a whole
+    search/bench run)."""
+    import time as _t
+
+    try:
+        return fn()
+    except Exception as e:  # jax.errors.JaxRuntimeError has no stable module
+        msg = str(e)
+        if "remote_compile" in msg or "read body" in msg or "INTERNAL" in msg:
+            _t.sleep(2.0)
+            return fn()
+        raise
+
+
 def _fine_cap(n: int, lo: int = 4096) -> int:
     """Smallest capacity >= n of the form (8..15)/8 * 2^k (<= 12.5%
     overshoot). Result-buffer bytes are link time (~64 MB/s tunnel), so
@@ -1732,7 +1749,12 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         engine._dp_dev_tables = dtabs
     (dep_d, node_d, pcls_d, pnode_d, olist_d, plen_d, pw_d, sim_d,
      sbe_d, ocnt_d) = dtabs
-    node_ceil = jax.device_put(ceil)
+    # Per-threshold cache: a device_put is a host-link round trip (~5-15 ms
+    # on tunneled rigs), which dominates small/medium searches if paid per
+    # call (streaming superwindows repeat one threshold thousands of times).
+    node_ceil = _dev_consts(
+        engine, ("node-ceil", float(thr)), lambda: jax.device_put(ceil)
+    )
 
     if typed is None:
         TYPED = None
@@ -1812,7 +1834,7 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
     _t0 = _time.perf_counter()
     pend = []
     for part in parts:
-        o = _launch(part, KH, CAND, KG)
+        o = _retry_transient(lambda: _launch(part, KH, CAND, KG))
         try:
             o.copy_to_host_async()
         except (AttributeError, RuntimeError):
@@ -1846,7 +1868,9 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
                 grew = True
             if not grew:
                 break
-            buf = jax.device_get(_launch(part, KH_u, CAND_u, KG_u))
+            buf = jax.device_get(
+                _retry_transient(lambda: _launch(part, KH_u, CAND_u, KG_u))
+            )
         mx_h, mx_c, mx_g = max(mx_h, count_h), max(mx_c, cand_count), max(mx_g, total)
         sum_h += count_h
         sum_c += cand_count

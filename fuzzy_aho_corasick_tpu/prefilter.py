@@ -143,6 +143,13 @@ class BitapFilter:
         if haystack.isascii():
             raw = np.frombuffer(haystack.encode("ascii"), dtype=np.uint8)
             return self.ascii_id[raw], None
+        from .utils.graphemes import map_singleton_chars, view_of
+
+        view = view_of(haystack, self.case_insensitive)
+        fast = map_singleton_chars(view, self.symbol_ids)
+        if fast is not None:
+            offs = view.offsets_array(len(view.hay_bytes()))
+            return fast, offs
         ids: List[int] = []
         offsets: List[int] = []
         pos = 0

@@ -40,5 +40,15 @@ class FuzzyReplacer:
             else None,
         )
 
+    def replace_stream_parallel(self, reader, writer, shards: int,
+                                threshold: float) -> int:
+        """Parallel streaming replace: passes the replacement table itself,
+        which rides the vectorized no-objects emit lane (stream.py
+        ``emit_window_table``) — the high-throughput form of
+        :meth:`replace_stream`."""
+        return self._engine.replace_stream_parallel(
+            reader, writer, shards, threshold, self.replacements
+        )
+
     def engine(self) -> FuzzyAhoCorasick:
         return self._engine

@@ -30,7 +30,7 @@ from .structs import FuzzyMatch, NumEdits
 _MISSING = object()  # sentinel: _separator_char caches None (= no free char)
 
 #: Default per-window byte target (reference src/stream.rs:65).
-DEFAULT_WINDOW = 256 * 1024
+DEFAULT_WINDOW = 4 * 1024 * 1024
 
 
 @dataclass
@@ -50,14 +50,31 @@ class StreamMatch:
     text: str
 
 
-@dataclass
 class _StreamWindow:
-    """An owned window: covers global bytes [base, base + len(text)); owns
-    matches whose start byte is < commit (reference src/stream.rs:67-73)."""
+    """An owned window: covers global bytes [base, base + len(data)); owns
+    matches whose start byte is < commit (reference src/stream.rs:67-73).
 
-    base: int
-    text: str
-    commit: int
+    Carries the raw bytes; ``text`` decodes lazily — the table-replacement
+    emit path and the byte-based batch plumbing never need the str, and the
+    per-window decode was the producer thread's single largest cost."""
+
+    __slots__ = ("base", "data", "commit", "_text")
+
+    def __init__(self, base: int, data: bytes, commit: int, text=None):
+        self.base = base
+        self.data = data
+        self.commit = commit
+        self._text = text
+
+    @property
+    def text(self) -> str:
+        if self._text is None:
+            self._text = self.data.decode("utf-8")
+        return self._text
+
+    @property
+    def nbytes(self) -> int:
+        return len(self.data)
 
 
 class WindowReader:
@@ -81,28 +98,40 @@ class WindowReader:
 
         while True:
             while len(self.buf) < self.window:
-                chunk = self.reader.read(64 * 1024)
+                chunk = self.reader.read(
+                    max(64 * 1024, self.window - len(self.buf))
+                )
                 if not chunk:
                     break
                 self.buf.extend(chunk)
                 self.total += len(chunk)
             eof = len(self.buf) < self.window
 
-            # Search only the valid-UTF-8 prefix; a trailing partial code
-            # point waits for more bytes (reference src/stream.rs:117-122).
-            text, valid = _valid_utf8_prefix(bytes(self.buf))
+            raw = bytes(self.buf)
+            if raw.isascii():
+                # ASCII fast lane: always-valid, byte == grapheme — no
+                # full-window decode on the producer thread (the decode is
+                # lazy on _StreamWindow.text for consumers that need it).
+                text, valid = None, len(raw)
+                data = raw
+            else:
+                # Search only the valid-UTF-8 prefix; a trailing partial
+                # code point waits for more bytes (reference
+                # src/stream.rs:117-122).
+                text, valid = _valid_utf8_prefix(raw)
+                data = raw[:valid]
 
             if eof:
                 self.done = True
-                return _StreamWindow(base=self.base, text=text, commit=valid)
+                return _StreamWindow(self.base, data, valid, text)
 
             # Commit boundary (a byte offset): keep the last overlap_graphemes
             # graphemes so no match is split (reference src/stream.rs:133-147).
-            commit = _commit_boundary(text, self.overlap_graphemes)
+            commit = _commit_boundary(data, self.overlap_graphemes)
             if commit is None or commit <= 0:
                 self.window += max(self.window, 64 * 1024)
                 continue
-            out = _StreamWindow(base=self.base, text=text, commit=commit)
+            out = _StreamWindow(self.base, data, commit, text)
             del self.buf[:commit]
             self.base += commit
             return out
@@ -124,9 +153,11 @@ def _valid_utf8_prefix(buf: bytes) -> tuple[str, int]:
         return buf[:valid].decode("utf-8"), valid
 
 
-def _commit_boundary(text: str, overlap_graphemes: int) -> Optional[int]:
+def _commit_boundary(text, overlap_graphemes: int) -> Optional[int]:
     """Byte offset of the start of the trailing ``overlap_graphemes``-th
-    grapheme, or None when the text is too small (reference src/stream.rs:133-147)."""
+    grapheme, or None when the text is too small (reference
+    src/stream.rs:133-147). Accepts str or valid-UTF-8 bytes — only the tail
+    is ever decoded/segmented."""
     from .utils.graphemes import graphemes
 
     # Only the suffix needs segmenting: a grapheme cluster is at most a few
@@ -134,7 +165,7 @@ def _commit_boundary(text: str, overlap_graphemes: int) -> Optional[int]:
     # widen the tail until enough clusters are found (mirrors the reference's
     # reverse iterator, which is O(overlap)).
     tail_bytes = max(overlap_graphemes * 8, 256)
-    b = text.encode("utf-8")
+    b = text.encode("utf-8") if isinstance(text, str) else text
     n = len(b)
     while True:
         lo = max(0, n - tail_bytes)
@@ -276,7 +307,7 @@ def _batch_window_matches(engine, windows: List[_StreamWindow], threshold: float
     for i, w in enumerate(windows):
         offs.append(pos)
         parts.append(w.text)
-        pos += len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)
+        pos += w.nbytes
         pos += sep_blen
         parts.append(sep)
     super_text = "".join(parts)
@@ -284,7 +315,7 @@ def _batch_window_matches(engine, windows: List[_StreamWindow], threshold: float
     raw = engine.search_raw(super_text, threshold)
     per_window: List[List[FuzzyMatch]] = [[] for _ in windows]
     bounds = [
-        (offs[i], offs[i] + (len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)))
+        (offs[i], offs[i] + w.nbytes)
         for i, w in enumerate(windows)
     ]
     import bisect
@@ -350,12 +381,22 @@ class _WindowProducer:
         self.thread = threading.Thread(target=run, daemon=True)
         self.thread.start()
 
-    def next_batch(self, n: int) -> List[_StreamWindow]:
+    def next_batch(self, n: int, slack: int = 0) -> List[_StreamWindow]:
+        """Up to ``n`` windows (blocking), plus up to ``slack`` more that are
+        available without blocking — so a short stream tail folds into the
+        final batch instead of paying a whole dispatch for one straggler."""
+        import queue as _queue
+
         out: List[_StreamWindow] = []
-        for _ in range(n):
-            if self.eof:
-                break
-            w = self.q.get()
+        budget = n + slack
+        while len(out) < budget and not self.eof:
+            if len(out) < n:
+                w = self.q.get()
+            else:
+                try:
+                    w = self.q.get_nowait()
+                except _queue.Empty:
+                    break
             if w is None:
                 self.eof = True
                 if self.exc is not None:
@@ -432,17 +473,20 @@ def _batch_replace_owned(engine, windows: List[_StreamWindow], threshold: float)
             for w in windows
         ]
     sep = sep_char * (engine.max_match_graphemes() + 1)
-    sep_blen = len(sep)
+    sep_b = sep.encode("ascii")
+    sep_blen = len(sep_b)
     offs: List[int] = []
     pos = 0
-    parts: List[str] = []
+    bparts: List[bytes] = []
     for w in windows:
         offs.append(pos)
-        pos += len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)
-        parts.append(w.text)
+        pos += w.nbytes
+        bparts.append(w.data)
         pos += sep_blen
-        parts.append(sep)
-    super_text = "".join(parts)
+        bparts.append(sep_b)
+    # One join + one decode for the whole batch — per-window strs stay
+    # undecoded on the ASCII path.
+    super_text = b"".join(bparts).decode("utf-8")
 
     raw = engine.search_raw(super_text, threshold)
     if not (isinstance(raw, LazyMatchList) and raw.unmaterialized):
@@ -461,13 +505,7 @@ def _batch_replace_owned(engine, windows: List[_StreamWindow], threshold: float)
     s, e, pat, sim, plens = raw.columns()
     cnts = np.asarray(raw._cnts)
     los = np.asarray(offs, dtype=np.int64)
-    his = los + np.asarray(
-        [
-            len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)
-            for w in windows
-        ],
-        dtype=np.int64,
-    )
+    his = los + np.asarray([w.nbytes for w in windows], dtype=np.int64)
     wi = np.searchsorted(los, s, side="right") - 1
     wis = np.maximum(wi, 0)
     ok = (wi >= 0) & (s >= los[wis]) & (e <= his[wis])
@@ -500,7 +538,6 @@ def _batch_replace_owned(engine, windows: List[_StreamWindow], threshold: float)
             ends.insert(p, ee)
             kept_per_w.setdefault(w, []).append(int(order[r]))
 
-    hb = raw._hay_bytes
     patterns = raw._patterns
     out: List[List[FuzzyMatch]] = []
     for widx, w in enumerate(windows):
@@ -509,26 +546,22 @@ def _batch_replace_owned(engine, windows: List[_StreamWindow], threshold: float)
             out.append([])
             continue
         # ownership + final (start, end) order (starts are unique post
-        # non-overlap, so a start sort is total)
-        rows = [r for r in rows if int(s[r] - los[widx]) < w.commit]
-        rows.sort(key=lambda r: int(s[r]))
-        ms = []
-        for r in rows:
-            cn = int(cnts[r])
-            ins, de = cn & 0xFF, (cn >> 8) & 0xFF
-            su, sw = (cn >> 16) & 0xFF, (cn >> 24) & 0xFF
-            gs, ge = int(s[r]), int(e[r])
-            p_ = int(pat[r])
-            ms.append(
-                FuzzyMatch(
-                    insertions=ins, deletions=de, substitutions=su, swaps=sw,
-                    edits=ins + de + su + sw, pattern_index=p_,
-                    pattern=patterns[p_], start=gs - int(los[widx]),
-                    end=ge - int(los[widx]), similarity=sim[r],
-                    text=hb[gs:ge].decode("utf-8"),
-                )
+        # non-overlap, so a start sort is total). The kept matches become a
+        # window-local LazyMatchList: the FuzzyMatch objects materialize on
+        # the *emitting* thread, off this (search-side) one.
+        r = np.asarray(rows, dtype=np.int64)
+        sl_w = s[r] - los[widx]
+        own = sl_w < w.commit
+        r = r[own]
+        order = np.argsort(sl_w[own], kind="stable")
+        r = r[order]
+        wb = w.data
+        out.append(
+            LazyMatchList(
+                patterns, wb, s[r] - los[widx], e[r] - los[widx],
+                pat[r], sim[r], cnts[r],
             )
-        out.append(ms)
+        )
     return out
 
 
@@ -538,7 +571,7 @@ def _split_super_matches(engine, windows, offs, raw):
     import bisect
 
     bounds = [
-        (offs[i], offs[i] + (len(w.text.encode("utf-8")) if not w.text.isascii() else len(w.text)))
+        (offs[i], offs[i] + w.nbytes)
         for i, w in enumerate(windows)
     ]
     starts = [b[0] for b in bounds]
@@ -579,6 +612,33 @@ class _ReplaceCursor:
     def __init__(self):
         self.emitted = 0
         self.written = 0
+
+    def emit_window_table(self, writer, table, base: int, data: bytes,
+                          commit: int, sb, eb, pat) -> None:
+        """Table-replacement emit: no FuzzyMatch objects, no callback — the
+        replacement is ``table[pattern_index]`` bytes (None = keep). One
+        join + one write per window; ~20x less Python per match than the
+        callback path, which is what lets a GIL-bound pipeline keep pace
+        with the device search (the reference's FuzzyReplacer fast path,
+        src/replacer.rs:35-52)."""
+        parts = []
+        cur = self.emitted - base
+        nt = len(table)
+        for s, e_, p in zip(sb.tolist(), eb.tolist(), pat.tolist()):
+            if s < cur:
+                continue  # an earlier window's match extended past commit
+            if cur < s:
+                parts.append(data[cur:s])
+            r = table[p] if p < nt else None
+            parts.append(r if r is not None else data[s:e_])
+            cur = e_
+        if cur < commit:
+            parts.append(data[cur:commit])
+            cur = commit
+        out = b"".join(parts)
+        writer.write(out)
+        self.written += len(out)
+        self.emitted = base + cur
 
     def emit_window(self, writer, callback, base: int, text: str, commit: int, matches) -> None:
         data = text.encode("utf-8")
@@ -621,6 +681,18 @@ def replace_stream(engine, reader, writer, threshold: float, callback) -> int:
     return cursor.written
 
 
+def _as_replacement_table(callback):
+    """A non-callable ``callback`` is a pattern-indexed replacement table
+    (the FuzzyReplacer form, reference src/replacer.rs:9-52): item i replaces
+    matches of pattern i (None = keep). Returns encoded bytes or None."""
+    if callable(callback) or callback is None:
+        return None
+    return [
+        None if r is None else (r.encode("utf-8") if isinstance(r, str) else bytes(r))
+        for r in callback
+    ]
+
+
 def replace_stream_parallel(engine, reader, writer, shards: int, threshold: float, callback) -> int:
     """Parallel replace with in-stream-order reassembly; byte-identical to
     :func:`replace_stream` (reference src/stream.rs:533-638).
@@ -630,33 +702,84 @@ def replace_stream_parallel(engine, reader, writer, shards: int, threshold: floa
     seq-tagged collector (src/stream.rs:603-630).
     """
     shards = max(1, shards)
+    import numpy as np
+
+    from .structs import LazyMatchList
+
+    table = _as_replacement_table(callback)
     wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
-    prod = _WindowProducer(wr, depth=4 * shards)
+    prod = _WindowProducer(wr, depth=max(4, min(4 * shards, 112)))
     cursor = _ReplaceCursor()
-    # Two-deep pipeline: a single search thread runs batch i+1's device
-    # dispatch while the calling thread reassembles batch i's output —
-    # search and (strictly in-stream-order) writing overlap, the reference's
-    # worker pool + seq-tagged collector shape (src/stream.rs:533-638).
-    # Batches take up to 2x shards windows: the kernels are data-parallel
-    # over starts, so a wider batch is pure dispatch-overhead amortization.
+    # Three-stage pipeline (the reference's producer + worker pool +
+    # seq-tagged collector, src/stream.rs:533-638): the producer thread
+    # segments windows ahead; TWO search workers keep the device busy while
+    # a finished batch's result buffer crosses the host link (the searches
+    # serialize on the device queue, their readbacks overlap the other's
+    # compute); the calling thread reassembles strictly in stream order.
+    # Batches group windows to ~BATCH_BYTES per dispatch — the kernels are
+    # data-parallel over starts, so batching is pure overhead amortization.
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    # Each dispatch carries a fixed host-link latency (~30-45 ms on tunneled
+    # rigs) and a ~2.5 GB/s marginal rate — batch big so the fixed cost
+    # amortizes; the producer queue is sized to keep two batches in flight.
+    BATCH_BYTES = 48 << 20
+    max_batch_windows = max(1, min(2 * shards, -(-BATCH_BYTES // wr.window)))
+
+    def _batches():
+        # Deterministic batch geometry (batch splits decide superwindow
+        # CONTENT, which keys the device residency cache and the compiled
+        # bucket shapes — a timing-dependent split would thrash both): fixed
+        # size, with a one-batch lookahead that folds a short stream tail
+        # into the previous batch instead of paying a dispatch for it.
+        cur = prod.next_batch(max_batch_windows)
+        while cur:
+            nxt = prod.next_batch(max_batch_windows)
+            if nxt and len(nxt) * 6 <= max_batch_windows:
+                cur = cur + nxt
+                nxt = prod.next_batch(max_batch_windows)
+            yield cur
+            cur = nxt
+
+    gen = _batches()
+    # ONE search worker on purpose: concurrent device searches interleave
+    # their slice dispatches and anti-scale on the device queue (measured
+    # ~1.3x slower than back-to-back); the pipeline parallelism comes from
+    # overlapping the worker's search with this thread's in-order emit and
+    # the producer's window segmentation.
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = None
-        held: List[_StreamWindow] = []
-        while True:
-            batch_windows = prod.next_batch(2 * shards)
-            nfut = (
-                pool.submit(_batch_replace_owned, engine, batch_windows, threshold)
-                if batch_windows
-                else None
-            )
-            if fut is not None:
-                for w, owned in zip(held, fut.result()):
-                    cursor.emit_window(
-                        writer, callback, w.base, w.text, w.commit, owned
-                    )
-            if nfut is None:
+        inflight: deque = deque()  # (windows, future), stream order
+        eof = False
+        while inflight or not eof:
+            while not eof and len(inflight) < 2:
+                batch_windows = next(gen, None)
+                if not batch_windows:
+                    eof = True
+                    break
+                inflight.append((
+                    batch_windows,
+                    pool.submit(
+                        _batch_replace_owned, engine, batch_windows, threshold
+                    ),
+                ))
+            if not inflight:
                 break
-            fut, held = nfut, batch_windows
+            held, fut = inflight.popleft()
+            for w, owned in zip(held, fut.result()):
+                if table is not None and isinstance(owned, LazyMatchList) \
+                        and owned.unmaterialized:
+                    cursor.emit_window_table(
+                        writer, table, w.base, owned._hay_bytes, w.commit,
+                        np.asarray(owned._start), np.asarray(owned._end),
+                        np.asarray(owned._pat),
+                    )
+                else:
+                    cursor.emit_window(
+                        writer,
+                        callback if table is None
+                        else (lambda m: callback[m.pattern_index]
+                              if m.pattern_index < len(callback) else None),
+                        w.base, w.text, w.commit, owned,
+                    )
     return cursor.written

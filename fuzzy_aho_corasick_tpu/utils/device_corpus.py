@@ -11,8 +11,8 @@ by 10-100x; production hosts (PCIe gen4/5) make the ingest cost ~1 GB per
 ``resident`` maps (haystack, symbol-space) -> a device uint8/int32 array of
 transcoded symbol ids, padded to a bucketed static length (so kernels compile
 once per bucket, not per corpus size). Keyed by the haystack's *content*
-(``hash(str)`` is cached inside the str object, so repeat lookups are O(1));
-a full string equality check guards against hash collisions. LRU-evicted by
+(sampled for multi-MB strings — see ``_content_key``); a full string
+equality check guards against key collisions. LRU-evicted by
 total device bytes.
 """
 
@@ -34,6 +34,24 @@ TAIL_MARGIN = 128
 
 _lru: "OrderedDict[tuple, tuple]" = OrderedDict()  # key -> (hay, dev, n)
 _held_bytes = 0
+
+#: Above this length the cache key samples the content instead of hashing
+#: all of it — ``hash(str)`` runs at ~1.5 GB/s and a streaming layer that
+#: rebuilds superwindow strings per batch would pay it per search. Hits are
+#: still verified by full string equality, so a sample collision costs one
+#: memcmp, never correctness.
+_SAMPLED_HASH_MIN = 1 << 20
+
+
+def _content_key(haystack: str) -> tuple:
+    n = len(haystack)
+    if n < _SAMPLED_HASH_MIN:
+        return (hash(haystack), n)
+    mid = n >> 1
+    return (
+        hash((haystack[:2048], haystack[mid : mid + 2048], haystack[-2048:])),
+        n,
+    )
 
 
 def bucket_len(n: int) -> int:
@@ -64,9 +82,11 @@ def resident(
     import jax
 
     global _held_bytes
-    key = (hash(haystack), len(haystack), space)
+    key = _content_key(haystack) + (space,)
     hit = _lru.get(key)
     if hit is not None and (hit[0] is haystack or hit[0] == haystack):
+        if hit[0] is not haystack:  # skip the memcmp for the sibling lookups
+            _lru[key] = (haystack,) + hit[1:]
         _lru.move_to_end(key)
         return hit[1], hit[2]
 
@@ -112,9 +132,11 @@ def resident_words(
 
     global _held_bytes, _pack_w32
     ids, n = resident(haystack, space, transcode)
-    key = (hash(haystack), len(haystack), ("w32",) + space)
+    key = _content_key(haystack) + (("w32",) + space,)
     hit = _lru.get(key)
     if hit is not None and (hit[0] is haystack or hit[0] == haystack):
+        if hit[0] is not haystack:
+            _lru[key] = (haystack,) + hit[1:]
         _lru.move_to_end(key)
         return ids, hit[1], n
 
@@ -163,11 +185,13 @@ def resident_words_sliced(
     global _held_bytes, _pack_w32
     res: list = [None] * len(bounds)
     missing = []
-    hkey = (hash(haystack), len(haystack))
+    hkey = _content_key(haystack)
     for i, (base, ln) in enumerate(bounds):
         key = hkey + (space, "sl", base, ln, pad_len)
         hit = _lru.get(key)
         if hit is not None and (hit[0] is haystack or hit[0] == haystack):
+            if hit[0] is not haystack:
+                _lru[key] = (haystack,) + hit[1:]
             _lru.move_to_end(key)
             res[i] = hit[1]
         else:

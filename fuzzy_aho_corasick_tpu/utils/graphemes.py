@@ -29,6 +29,55 @@ _ASCII_LOWER = np.arange(256, dtype=np.uint8)
 _ASCII_LOWER[ord("A") : ord("Z") + 1] += 32
 
 
+#: Per-256-code-point blocks of the "grapheme singleton" property: True when
+#: a code point always forms its own extended grapheme cluster next to any
+#: other singleton code point. Derived empirically from the same UAX #29
+#: engine used by the slow path (regex '\X'), so the two paths can never
+#: disagree: cp is a singleton iff it breaks against itself, after 'a' and
+#: before 'a' — which rules out Extend/ZWJ/SpacingMark (no break after a
+#: base), Prepend (no break before a base), hangul jamo and regional
+#: indicators (no break against themselves). CR is excluded explicitly
+#: (CR+LF is one cluster but both probe as singletons).
+_SINGLETON_BLOCKS: dict[int, "np.ndarray"] = {}
+
+
+def _singleton_block(block: int) -> "np.ndarray":
+    tbl = _SINGLETON_BLOCKS.get(block)
+    if tbl is None:
+        tbl = np.zeros(256, dtype=bool)
+        base = block << 8
+        findall = _GRAPHEME_RE.findall
+        for i in range(256):
+            cp = base + i
+            if cp == 0x0D or cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF:
+                continue
+            ch = chr(cp)
+            tbl[i] = (
+                len(findall(ch + ch)) == 2
+                and len(findall("a" + ch)) == 2
+                and len(findall(ch + "a")) == 2
+            )
+        _SINGLETON_BLOCKS[block] = tbl
+    return tbl
+
+
+def _all_singletons(cps: "np.ndarray") -> bool:
+    """True when every code point is a grapheme singleton (see above) — the
+    whole string then segments as one cluster per code point and the
+    vectorized view path applies (Cyrillic, Greek, CJK, kana ... — anything
+    without combining marks, joiners, jamo or emoji sequences)."""
+    mx = int(cps.max(initial=0))
+    # One stitched table over [0, mx] + a single gather: the per-block probe
+    # cost is paid once per block ever; bincount finds the present blocks in
+    # one pass so absent blocks stay unprobed.
+    n_blocks = (mx >> 8) + 1
+    present = np.flatnonzero(np.bincount(cps >> 8, minlength=n_blocks))
+    full = np.zeros(n_blocks << 8, dtype=bool)
+    for block in present:
+        full[block << 8 : (block + 1) << 8] = _singleton_block(int(block))
+    return bool(full[cps].all())
+
+
 def graphemes(text: str) -> list[str]:
     """Split ``text`` into extended grapheme clusters (UAX #29).
 
@@ -112,7 +161,7 @@ class HaystackView:
 
     __slots__ = (
         "haystack", "ascii", "case_insensitive", "_texts", "_offsets",
-        "_chars", "_offsets_np", "_bytes", "_folded",
+        "_chars", "_offsets_np", "_bytes", "_folded", "_folded_cps",
     )
 
     def __init__(self, haystack: str, case_insensitive: bool):
@@ -122,30 +171,38 @@ class HaystackView:
         self._offsets_np = None
         self._bytes = None
         self._folded = None
+        self._folded_cps = None
         if self.ascii:
             self._texts = None
             self._offsets = None
             self._chars = None
             return
-        # Single-code-point fast path: when every code point is below U+0300
-        # (no combining marks — the first combining block starts there; ZWJ,
-        # variation selectors, jamo, regional indicators are all higher) and
-        # there is no CR (CRLF is one cluster), every code point IS one
-        # extended grapheme cluster — segmentation becomes vectorized
-        # arithmetic instead of a regex pass (~40x on 24 MiB corpora).
-        # Case folding must also be length-preserving (e.g. U+0130 lowers
-        # to two code points — falls back to the general path).
+        # Single-code-point fast path: when every code point is a grapheme
+        # SINGLETON (see :func:`_all_singletons` — Latin below U+0300 passes
+        # trivially, and so do Cyrillic, Greek, CJK, kana: any script
+        # without combining marks, joiners, jamo or emoji sequences in the
+        # actual text), every code point IS one extended grapheme cluster —
+        # segmentation becomes vectorized arithmetic instead of a regex pass
+        # (~40x on 24 MiB corpora). Case folding must also be
+        # length-preserving (e.g. U+0130 lowers to two code points — falls
+        # back to the general path).
         cps = np.frombuffer(haystack.encode("utf-32-le"), dtype=np.uint32)
-        if int(cps.max(initial=0)) < 0x300 and "\r" not in haystack:
+        mx = int(cps.max(initial=0))
+        if (
+            (mx < 0x300 and "\r" not in haystack)
+            or (mx >= 0x300 and _all_singletons(cps))
+        ):
             folded = haystack.lower() if case_insensitive else haystack
             if len(folded) == len(haystack):
                 self._texts = None
                 self._chars = None
                 self._folded = folded
-                # Code points < 0x300 are 1 or 2 UTF-8 bytes; exclusive
-                # prefix sum = inclusive cumsum minus the element (cumsum
-                # into a strided out= slice hits a ~30x numpy slow path).
-                blen = (1 + (cps >= 0x80)).astype(np.int64)
+                # UTF-8 length per code point; exclusive prefix sum =
+                # inclusive cumsum minus the element (cumsum into a strided
+                # out= slice hits a ~30x numpy slow path).
+                blen = (
+                    1 + (cps >= 0x80) + (cps >= 0x800) + (cps >= 0x10000)
+                ).astype(np.int64)
                 cs = np.cumsum(blen)
                 cs -= blen
                 self._offsets = cs
@@ -221,6 +278,30 @@ class HaystackView:
         if self._folded is not None:
             return list(self._folded)
         return list(self._chars)
+
+
+def map_singleton_chars(view: "HaystackView", char_map, dtype=np.uint8):
+    """Vectorized grapheme->id transcode for singleton-fast-path views
+    (``view._folded`` set): builds a code-point lookup from ``char_map``
+    (ids for its single-char keys, 0 otherwise) and gathers — the numpy form
+    of the per-grapheme ``dict.get`` loop, ~50x faster on multi-MB Unicode
+    corpora. Returns None when the view is not on the fast path."""
+    if view._folded is None:
+        return None
+    cps = view._folded_cps
+    if cps is None:
+        cps = np.frombuffer(
+            view._folded.encode("utf-32-le"), dtype=np.uint32
+        )
+        view._folded_cps = cps
+    mx = int(cps.max(initial=0))
+    tab = np.zeros(mx + 2, dtype=np.int32)
+    for ch, cid in char_map.items():
+        if len(ch) == 1:
+            o = ord(ch)
+            if o <= mx:
+                tab[o] = cid
+    return tab[cps].astype(dtype)
 
 
 def transcode_ascii(haystack: str, table: np.ndarray) -> np.ndarray:

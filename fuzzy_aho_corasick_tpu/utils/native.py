@@ -27,7 +27,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(so)) or os.path.getmtime(so) < os.path.getmtime(src):
             subprocess.run(
-                ["gcc", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", so + ".tmp"],
+                # -ffp-contract=off: the BFS penalty arithmetic must round
+                # every f32 op like the oracle's numpy scalars — an FMA
+                # contraction would change similarities by 1 ULP.
+                ["gcc", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC", src, "-o", so + ".tmp"],
                 check=True,
                 capture_output=True,
                 timeout=120,
@@ -38,12 +42,34 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         return None
     i64 = ctypes.c_int64
     i32 = ctypes.c_int32
+    f32c = ctypes.c_float
     p8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    ps8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     p32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     p64 = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    pf32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     lib.transcode_u8.argtypes = [p8, i64, p8, p8]
     lib.transcode_i32.argtypes = [p8, i64, p32, p32]
     lib.bitap_scan.argtypes = [p64, i32, i32, p8, i64, p64, p64, p8]
+    if hasattr(lib, "bfs_search"):
+        # Raw void pointers on purpose: the BFS lane is a per-call latency
+        # path and ndpointer's from_param validation costs ~1 us per array
+        # argument; ops/native_bfs caches the .ctypes.data addresses once
+        # per engine (holding the arrays alive alongside them).
+        vp = ctypes.c_void_p
+        lib.bfs_search.argtypes = [
+            vp, vp, vp, i32,               # goto, edge_target, edge_class, max_deg
+            vp, vp, i32,                   # out_count, out_list, max_out
+            vp, vp, i32,                   # sb_edge, sim, C
+            vp, vp, vp,                    # node_ceil, pat_len, pat_weight
+            i32, f32c,                     # mef, threshold
+            f32c, f32c, f32c, f32c, f32c, f32c,  # max_pen, penalties, min_sym
+            i32, vp, vp,                   # window-skip flag + masks
+            ctypes.c_char_p, vp, i64,      # hay bytes, byte->class table, len
+            vp, i64,                       # out_rows, out_cap
+        ]
+        lib.bfs_search.restype = i64
+    _ = (ps8, pf32)  # (kept for symmetry with future signatures)
     return lib
 
 

@@ -10,14 +10,19 @@ through jax.config instead.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# FAC_REAL_DEVICE=1 keeps the real accelerator visible — used by the
+# throughput-floor test (tests/test_perf_floor.py), which is meaningless on
+# the CPU mesh. Everything else runs on the virtual 8-device CPU mesh.
+if os.environ.get("FAC_REAL_DEVICE") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("FAC_REAL_DEVICE") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -578,3 +578,75 @@ def test_similarity_values_f32():
     assert by_pat["hello"].insertions == 1
     assert by_pat["world"].similarity == exp_swap
     assert by_pat["world"].swaps == 1
+
+
+def test_singleton_script_fast_view_parity():
+    """Cyrillic/Greek/CJK haystacks ride the vectorized singleton view + the
+    vectorized transcode (VERDICT r3 item 8); results must equal the regex
+    slow path exactly. The fallback cases (combining marks, jamo, CR, emoji)
+    must still fall back."""
+    import numpy as np
+
+    from fuzzy_aho_corasick_tpu.utils.graphemes import HaystackView, graphemes
+
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["привет", "ПОИСК", "日本語"])
+    )
+    hay = "Привет мир, превет again; поиск и 日本語 текст 日本誤 конец"
+    v = HaystackView(hay, True)
+    assert v._folded is not None, "singleton fast path did not engage"
+    ms = sorted(
+        (m.pattern_index, m.start, m.end, float(m.similarity))
+        for m in eng.search_raw(hay, 0.75)
+    )
+    assert len(ms) >= 4  # привет exact+fuzzy, поиск, 日本語 exact+fuzzy
+    # byte offsets line up with real UTF-8 boundaries
+    hb = hay.encode("utf-8")
+    for _p, s, e, _sim in ms:
+        hb[s:e].decode("utf-8")  # raises on a split code point
+
+    for bad in ("e\u0301clair", "\u1100\u1161", "crlf\r\n \u043a\u0438\u0440", "\u044d\u043c\u043e\u0434\u0437\u0438 \U0001F44D\U0001F3FD"):
+        assert HaystackView(bad, True)._folded is None, bad
+        # and segmentation still matches the regex engine
+        vb = HaystackView(bad, True)
+        assert len(vb) == len(graphemes(bad))
+
+
+def test_host_cliff_warning(monkeypatch):
+    """A >= 1 MiB haystack silently routed to the host (config outside every
+    device lane) warns ONCE naming the reason (VERDICT r3 item 7)."""
+    import warnings
+
+    from fuzzy_aho_corasick_tpu import automaton as auto_mod
+
+    # Empty pattern -> root output -> no device lane serves it.
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .build(["", "hello"])
+    )
+    monkeypatch.setattr(auto_mod.oracle, "search_raw", lambda *a, **k: [])
+    hay = "x" * (1 << 20)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        eng.search_raw(hay, 0.8)
+        eng.search_raw(hay, 0.8)  # second call must NOT warn again
+    cliff = [w for w in rec if issubclass(w.category, RuntimeWarning)]
+    assert len(cliff) == 1
+    assert "host" in str(cliff[0].message)
+    assert "performance.md" in str(cliff[0].message)
+
+    # small haystacks never warn
+    eng2 = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .build(["", "hello"])
+    )
+    monkeypatch.setattr(auto_mod.oracle, "search_raw", lambda *a, **k: [])
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        eng2.search_raw("tiny hello", 0.8)
+    assert not [w for w in rec2 if issubclass(w.category, RuntimeWarning)]

@@ -287,3 +287,56 @@ def test_beamed_mapped_and_typed_device_policy():
     assert sorted(t1) == sorted(
         _tuples(typed.search(hay2, SearchOptions.new().with_threshold(0.5)))
     )
+
+
+def test_truncating_beam_device_policy():
+    """A beam NARROW enough to actually truncate (VERDICT r3 item 5).
+
+    Policy under truncation (documented in README's feature map): the host
+    oracle drops frontier states like the reference (src/search.rs:578-589)
+    and may return fewer matches; the device DP lane has no frontier to
+    bound and returns the EXACT (unbeamed) result — a superset of any
+    beamed-host result. Repeat runs stay bit-identical on both paths.
+    """
+    pats = ["abcde", "abcdx", "abdce", "xbcde", "abxde", "abcxe",
+            "aacde", "abcdef", "bcdea"]
+    hay = ("pad " * 10) + "abcde abdce abcxe xbcde " + ("pad " * 10) + "abcdef"
+
+    def build(bw):
+        b = FuzzyAhoCorasickBuilder.new().fuzzy(FuzzyLimits.new().edits(2))
+        if bw:
+            b = b.beam_width(bw)
+        return b.build(pats)
+
+    unbeamed = build(None)
+    full = sorted(_tuples(unbeamed.search(
+        hay, SearchOptions.new().with_threshold(0.55))))
+
+    narrow = build(2)
+    narrow.backend = "oracle"
+    beamed_host = sorted(_tuples(narrow.search(
+        hay, SearchOptions.new().with_threshold(0.55))))
+    # the beam actually truncates: the host drops matches
+    assert len(beamed_host) < len(full)
+    # every beamed span also exists unbeamed, never with a better score
+    # (truncation only removes paths; the surviving winner may be weaker)
+    span = lambda t: (t[0], t[1], t[2])
+    full_best = {span(t): t[3] for t in full}
+    for t in beamed_host:
+        assert span(t) in full_best
+        assert t[3] <= full_best[span(t)]
+    # beamed host repeats bit-identically
+    for _ in range(3):
+        assert beamed_host == sorted(_tuples(narrow.search(
+            hay, SearchOptions.new().with_threshold(0.55))))
+
+    # the device serves the same engine with the exact result — the
+    # documented superset-of-beamed policy
+    dev = build(2)
+    dev.backend = "device"
+    first = _tuples(dev.search(hay, SearchOptions.new().with_threshold(0.55)))
+    assert sorted(first) == full
+    assert {span(t) for t in beamed_host} <= {span(t) for t in first}
+    for _ in range(3):
+        assert first == _tuples(dev.search(
+            hay, SearchOptions.new().with_threshold(0.55)))
