@@ -176,8 +176,90 @@ def run_extras(detail, corpus, fengine, dictionary):
             detail[f"{bname}_bps"] = round(len(corpus) / dt)
             detail[f"{bname}_matches"] = len(ms)
             _log(f"{bname}: {len(corpus) / dt / 1e6:.0f} MB/s")
+            del eng, ms  # release device consts before the next extra
         except Exception as e:  # pragma: no cover - bench resilience
             detail[f"{bname}_error"] = repr(e)
+
+    # 1k-pattern dictionary scan (pattern-chunked lane, ops/many): ONE
+    # uniform-shape kernel compile serves every chunk, so the old >35 min
+    # per-dictionary AOT cliff is gone. Runs BEFORE fuzzy2/3/mapped: those
+    # have landed driver numbers since r03; this one must land now.
+    if budget_ok("many1k", 120.0):
+        try:
+            rng = np.random.default_rng(7)
+            alphabet = "abcdefghijklmnopqrstuvwxyz"
+            many = sorted({
+                "".join(alphabet[i] for i in rng.integers(0, 26, size=int(m)))
+                for m in rng.integers(6, 12, size=1000)
+            })
+            # Plant ~4k one-substitution typos of the longer patterns so the
+            # expand/verify stages do real work (random patterns never occur
+            # in the lorem corpus; a 0-match scan would only time the
+            # prefilter). len >= 9 keeps sim ~0.87+ above the 0.82 threshold.
+            long_pats = [p for p in many if len(p) >= 9]
+            buf = bytearray(sub.encode())
+            step = max(1, len(buf) // 4000)
+            for j in range(4000):
+                p = long_pats[j % len(long_pats)]
+                w = (" " + p[:2] + ("x" if p[2] != "x" else "y") + p[3:]
+                     + " ").encode()
+                pos = 100 + j * step
+                if pos + len(w) >= len(buf):
+                    break
+                buf[pos : pos + len(w)] = w
+            msub_many = buf.decode()
+            meng = (
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(1))
+                .case_insensitive(True)
+                .build(many)
+            )
+            meng.backend = "device"
+            meng.search_raw(msub_many, 0.82)  # warm
+            meng.search_raw(msub_many, 0.82)  # cap ratchet-down may recompile
+            t0 = time.time()
+            ms = meng.search_raw(msub_many, 0.82)
+            dt = time.time() - t0
+            detail["many1k_bps"] = round(len(msub_many) / dt)
+            detail["many1k_patterns"] = len(many)
+            detail["many1k_matches"] = len(ms)
+            detail["many1k_backend"] = meng.last_stats.get("backend")
+            _log(f"many1k: {len(msub_many) / dt / 1e6:.0f} MB/s, {len(ms)} matches")
+            del meng, ms, buf, msub_many  # release device consts + corpus
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["many1k_error"] = repr(e)
+
+    # Parallel streaming replace throughput (reference replace_bench.rs):
+    # the FuzzyReplacer form — a pattern-indexed replacement table — which
+    # rides the vectorized no-objects emit lane. Streams the full corpus so
+    # the producer/search/emit pipeline reaches steady state.
+    if budget_ok("replace_stream_parallel", 100.0):
+        try:
+            import io
+
+            table = ["<x>"] * 16
+            src = corpus.encode()
+            n_src = len(src)
+            # Two full warm passes: the first compiles every superwindow
+            # shape the stream produces, the second lands the capacity
+            # ratchet-down recompiles — the timed pass then measures steady
+            # state.
+            for _ in range(2):
+                fengine.replace_stream_parallel(
+                    io.BytesIO(src), io.BytesIO(), 64, 0.8, table
+                )
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                out = io.BytesIO()
+                fengine.replace_stream_parallel(
+                    io.BytesIO(src), out, 64, 0.8, table
+                )
+                best = min(best, time.time() - t0)
+            detail["replace_stream_parallel_bps"] = round(n_src / best)
+            _log(f"replace_stream_parallel: {n_src / best / 1e6:.0f} MB/s")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["replace_stream_parallel_error"] = repr(e)
 
     # swaps(0) keeps the bitap budget k == edits (a swap costs 2 bitap
     # errors, reference prefilter.rs:174-183 — with swaps allowed k
@@ -221,6 +303,7 @@ def run_extras(detail, corpus, fengine, dictionary):
             detail[f"{name}_bps"] = round(sn / dt)
             detail[f"{name}_matches"] = len(ms)
             _log(f"{name}: {sn / dt / 1e6:.0f} MB/s, {len(ms)} matches")
+            del eng, ms, probe, pv  # release device consts
         except Exception as e:  # pragma: no cover - bench resilience
             detail[f"{name}_error"] = repr(e)
 
@@ -260,72 +343,9 @@ def run_extras(detail, corpus, fengine, dictionary):
             detail["mapped_backend"] = meng2.last_stats.get("backend")
             _log(f"mapped: {sn_m / dt / 1e6:.0f} MB/s, {len(ms)} matches "
                  f"({meng2.last_stats.get('backend')})")
+            del meng2, ms, msub
         except Exception as e:  # pragma: no cover - bench resilience
             detail["mapped_error"] = repr(e)
-
-    # Parallel streaming replace throughput (reference replace_bench.rs):
-    # the FuzzyReplacer form — a pattern-indexed replacement table — which
-    # rides the vectorized no-objects emit lane. Streams the full corpus so
-    # the producer/search/emit pipeline reaches steady state.
-    if budget_ok("replace_stream_parallel", 150.0):
-        try:
-            import io
-
-            table = ["<x>"] * 16
-            src = corpus.encode()
-            n_src = len(src)
-            # Two full warm passes: the first compiles every superwindow
-            # shape the stream produces, the second lands the capacity
-            # ratchet-down recompiles — the timed pass then measures steady
-            # state.
-            for _ in range(2):
-                fengine.replace_stream_parallel(
-                    io.BytesIO(src), io.BytesIO(), 64, 0.8, table
-                )
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.time()
-                out = io.BytesIO()
-                fengine.replace_stream_parallel(
-                    io.BytesIO(src), out, 64, 0.8, table
-                )
-                best = min(best, time.time() - t0)
-            detail["replace_stream_parallel_bps"] = round(n_src / best)
-            _log(f"replace_stream_parallel: {n_src / best / 1e6:.0f} MB/s")
-        except Exception as e:  # pragma: no cover - bench resilience
-            detail["replace_stream_parallel_error"] = repr(e)
-
-
-    # 1k-pattern dictionary scan (pattern-chunked lane, ops/many): ONE
-    # uniform-shape kernel compile serves every chunk, so the old >35 min
-    # per-dictionary AOT cliff is gone; 240 s covers a cold compile plus the
-    # chunk sweep.
-    if budget_ok("many1k", 240.0):
-        try:
-            rng = np.random.default_rng(7)
-            alphabet = "abcdefghijklmnopqrstuvwxyz"
-            many = sorted({
-                "".join(alphabet[i] for i in rng.integers(0, 26, size=int(m)))
-                for m in rng.integers(6, 12, size=1000)
-            })
-            meng = (
-                FuzzyAhoCorasickBuilder.new()
-                .fuzzy(FuzzyLimits.new().edits(1))
-                .case_insensitive(True)
-                .build(many)
-            )
-            meng.backend = "device"
-            meng.search_raw(sub, 0.82)  # warm
-            meng.search_raw(sub, 0.82)  # cap ratchet-down may recompile once
-            t0 = time.time()
-            ms = meng.search_raw(sub, 0.82)
-            dt = time.time() - t0
-            detail["many1k_bps"] = round(sn / dt)
-            detail["many1k_patterns"] = len(many)
-            detail["many1k_matches"] = len(ms)
-            _log(f"many1k: {sn / dt / 1e6:.0f} MB/s")
-        except Exception as e:  # pragma: no cover - bench resilience
-            detail["many1k_error"] = repr(e)
 
 def main():
     import jax

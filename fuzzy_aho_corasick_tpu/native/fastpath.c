@@ -409,3 +409,77 @@ int64_t bfs_search(
   BFS_RET(n_out);
 }
 #undef BFS_RET
+
+/* ---------------------------------------------------------------------------
+ * Streaming-replace host helpers (reference src/stream.rs:533-638 worker
+ * pool + src/matches.rs:86-112 interval scheduling). The streaming layer's
+ * two remaining Python loops at match density — greedy non-overlap over the
+ * rank order and the per-window byte emit — dominate a 2-core host's budget;
+ * both are memcpy-class work.
+ */
+
+/* Greedy non-overlap (interval scheduling) over rows ALREADY in rank order.
+ * Coordinates are superwindow-global; windows are disjoint byte ranges, so
+ * per-window greedy == global greedy restricted to each window. occ is a
+ * caller-zeroed byte-occupancy map of the full coordinate range (calloc'd
+ * pages — only match spans are ever touched); keep[i] = 1 iff row i
+ * survives. Touching intervals (e1 == s2) do not clash (half-open spans,
+ * reference src/matches.rs:97-103). */
+void greedy_nonoverlap(const int64_t *s, const int64_t *e, int64_t n,
+                       uint8_t *occ, uint8_t *keep) {
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t a = s[i], b = e[i];
+    uint8_t clash = 0;
+    for (int64_t j = a; j < b; j++) {
+      if (occ[j]) {
+        clash = 1;
+        break;
+      }
+    }
+    keep[i] = !clash;
+    if (!clash) {
+      for (int64_t j = a; j < b; j++) occ[j] = 1;
+    }
+  }
+}
+
+/* Table-replacement emit for one window: copy [cur, commit) of data into out,
+ * swapping each match span [s_i, e_i) for its pattern's replacement bytes
+ * (tbl + tbl_off, keep_orig[p] = 1 -> keep the original span). Matches must
+ * be position-sorted and non-overlapping; ones starting before cur belong to
+ * an earlier window and are skipped (reference src/stream.rs:641-705).
+ * state[0] = cur in, final cur out; returns bytes written to out. */
+int64_t replace_emit_table(const uint8_t *data, int64_t commit,
+                           const int64_t *s, const int64_t *e,
+                           const int32_t *pat, int64_t n, const uint8_t *tbl,
+                           const int64_t *tbl_off, int32_t ntbl,
+                           const uint8_t *keep_orig, int64_t *state,
+                           uint8_t *out) {
+  int64_t cur = state[0];
+  int64_t o = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t a = s[i], b = e[i];
+    if (a < cur) continue; /* earlier window's match extended past commit */
+    if (cur < a) {
+      memcpy(out + o, data + cur, a - cur);
+      o += a - cur;
+    }
+    const int32_t p = pat[i];
+    if (p < ntbl && !keep_orig[p]) {
+      const int64_t rl = tbl_off[p + 1] - tbl_off[p];
+      memcpy(out + o, tbl + tbl_off[p], rl);
+      o += rl;
+    } else {
+      memcpy(out + o, data + a, b - a);
+      o += b - a;
+    }
+    cur = b;
+  }
+  if (cur < commit) {
+    memcpy(out + o, data + cur, commit - cur);
+    o += commit - cur;
+    cur = commit;
+  }
+  state[0] = cur;
+  return o;
+}

@@ -217,12 +217,14 @@ class DenseAutomaton:
         return self
 
     # ------------------------------------------------------------------
-    def transcode_ascii(self, haystack: str) -> np.ndarray:
+    def transcode_ascii(self, haystack: str, data: bytes = None) -> np.ndarray:
         """All-ASCII haystack -> class-id stream (native C loop when built,
-        NumPy otherwise); uint8 when the alphabet fits, else int32."""
+        NumPy otherwise); uint8 when the alphabet fits, else int32.
+        ``data``: pre-encoded bytes, skips the encode copy."""
         from ..utils import native
 
-        data = haystack.encode("ascii")
+        if data is None:
+            data = haystack.encode("ascii")
         if self.ascii_class_u8 is not None:
             return native.transcode_bytes_u8(data, self.ascii_class_u8)
         return native.transcode_bytes_i32(data, self.ascii_class)
@@ -236,7 +238,10 @@ class DenseAutomaton:
         cache (reference src/search.rs:203).
         """
         if haystack.isascii():
-            return self.transcode_ascii(haystack)
+            # A view with cached bytes (streaming superwindows seed it)
+            # saves the 48 MiB-scale re-encode.
+            data = getattr(view, "_bytes", None) if view is not None else None
+            return self.transcode_ascii(haystack, data)
         from ..utils.graphemes import HaystackView, map_singleton_chars
 
         if view is None:

@@ -339,7 +339,9 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
     )
     assert n_pf == n_d == n
     nb = ids_pf.size
-    NL, TB, chunkpf, grid = _derive_layout_resident(nb, halo, spec.W)
+    NL, TB, chunkpf, grid = _derive_layout_resident(
+        nb, halo, spec.W, k=k, tables_in_vmem=True
+    )
 
     # Per-chunk device tables, shipped once per (engine, threshold).
     def _ship():

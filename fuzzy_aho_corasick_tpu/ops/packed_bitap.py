@@ -193,7 +193,7 @@ class PackedExact:
         from ..utils import native
 
         if view.ascii:
-            return native.transcode_bytes_u8(haystack.encode("ascii"), self.ascii_tbl)
+            return native.transcode_bytes_u8(view.hay_bytes(), self.ascii_tbl)
         ids = dense.transcode(haystack, view)
         return self.remap[np.minimum(ids, len(self.remap) - 1)]
 
@@ -714,15 +714,28 @@ def _dev_consts(engine, key: tuple, build) -> tuple:
     return hit
 
 
-def _derive_layout_resident(nb: int, halo: int, W: int):
+def _derive_layout_resident(nb: int, halo: int, W: int, k: int = 0,
+                            tables_in_vmem: bool = False):
     """(NL, TB, grid, chunk) with NL * chunk == nb exactly (nb is a
     device-corpus bucket length: 2^k or 3 * 2^(k-1), so any power-of-two
-    NL <= nb / 8 divides it)."""
+    NL <= nb / 8 divides it).
+
+    ``tables_in_vmem``: the caller runs the scan kernel with the
+    starts/match/init masks as traced ``[.., NL]`` VMEM blocks instead of
+    baked constants (the pattern-chunked many lane, ops/many.py) — those
+    blocks eat an NL-proportional slice of the ~16 MB scoped-vmem budget
+    (measured: 448 B/lane at W=8, k=2 = 7.3 MB at NL=16384, a compile-time
+    OOM), so NL shrinks and the row-block budget subtracts them.
+    """
     nl = NL_MAX
     while nl > 128 and nb // nl < max(halo, 8):
         nl //= 2
+    # starts [2W] + match/init [(k+1), 2W] u32 per lane.
+    tbytes = 8 * W * (1 + 2 * (k + 1)) if tables_in_vmem else 0
+    while nl > 128 and VMEM_BLOCK_BYTES - nl * tbytes < nl * 12 * 8:
+        nl //= 2
     chunk = nb // nl
-    tb = max(8, (VMEM_BLOCK_BYTES // (nl * 12)) // 8 * 8)
+    tb = max(8, ((VMEM_BLOCK_BYTES - nl * tbytes) // (nl * 12)) // 8 * 8)
     grid = -(-(halo + chunk) // tb)
     return nl, tb, chunk, grid
 

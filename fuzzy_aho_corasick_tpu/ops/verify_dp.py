@@ -1664,9 +1664,18 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         pad_len = device_corpus.bucket_len(
             max(ln for _, ln in bounds) + device_corpus.TAIL_MARGIN
         )
+        import os as _os_t
+        import time as _time_t
+
+        _res_t0 = _time_t.perf_counter() if _os_t.environ.get("FAC_TIME") == "1" else None
         pf_slices = device_corpus.resident_words_sliced(
             haystack, ("pk-fuzzy", tok),
-            lambda h: np.ascontiguousarray(pk.filt.transcode(h)[0], dtype=np.uint8),
+            lambda h: np.ascontiguousarray(
+                pk.filt.transcode(
+                    h, hay_bytes=view.hay_bytes() if view.ascii else None
+                )[0],
+                dtype=np.uint8,
+            ),
             tuple(bounds), pad_len,
         )
         de_slices = device_corpus.resident_words_sliced(
@@ -1674,6 +1683,14 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
             lambda h: np.ascontiguousarray(dense.transcode(h, view), dtype=np.uint8),
             tuple(bounds), pad_len,
         )
+        if _res_t0 is not None:
+            import sys as _sys_t
+
+            print(
+                f"[FAC_TIME dp] residency={( _time_t.perf_counter() - _res_t0) * 1e3:.1f}ms "
+                f"slices={len(bounds)} pad_len={pad_len}",
+                file=_sys_t.stderr,
+            )
         # (ids_pf, pf_w32, ids_dense, dense_w32, local_n, lo, hi, base)
         parts = [
             (pf[0], pf[1], de[0], de[1], m[3], m[1], m[2], m[0])
@@ -1684,7 +1701,12 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         ids_pf, ids_pf_w32, n_pf = device_corpus.resident_words(
             haystack,
             ("pk-fuzzy", tok),
-            lambda h: np.ascontiguousarray(pk.filt.transcode(h)[0], dtype=np.uint8),
+            lambda h: np.ascontiguousarray(
+                pk.filt.transcode(
+                    h, hay_bytes=view.hay_bytes() if view.ascii else None
+                )[0],
+                dtype=np.uint8,
+            ),
         )
         if narrow:
             ids_dense, ids_dense_w32, n_d = device_corpus.resident_words(

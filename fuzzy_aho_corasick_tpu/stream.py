@@ -449,11 +449,145 @@ def search_stream_parallel(
     return wr.total
 
 
-def _batch_replace_owned(engine, windows: List[_StreamWindow], threshold: float):
-    """Per-window owned, non-overlapping, position-sorted match lists for
-    replacement — ONE batched device search, struct-of-arrays throughout.
+class _BatchPrep:
+    """A search-ready batch: windows plus the pre-assembled superwindow
+    (bytes + decoded str + per-window byte offsets). Built on the producer
+    thread so the search worker's critical path is transcode + dispatch only
+    (the join/decode of a 48 MiB batch costs ~30 ms — at 4 pipeline stages
+    that is the difference between ~250 and ~450 MB/s end to end)."""
 
-    The object path (:func:`_batch_window_matches` + per-window
+    __slots__ = ("windows", "super_bytes", "super_text", "offs", "view")
+
+    def __init__(self, windows, super_bytes=None, super_text=None, offs=None,
+                 view=None):
+        self.windows = windows
+        self.super_bytes = super_bytes
+        self.super_text = super_text
+        self.offs = offs
+        self.view = view
+
+
+class _PrepProducer:
+    """Producer thread: segments stream windows AND assembles batch preps —
+    the reference's producer thread over a bounded channel
+    (src/stream.rs:386-420), here also owning the superwindow join so the
+    device worker never touches it."""
+
+    def __init__(self, wr: WindowReader, max_batch_windows: int,
+                 sep_b: Optional[bytes], case_insensitive: bool = False,
+                 depth: int = 2):
+        import queue
+        import threading
+
+        self.wr = wr
+        self.maxw = max_batch_windows
+        self.sep_b = sep_b
+        self.case_insensitive = case_insensitive
+        self.q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self.exc: Optional[BaseException] = None
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _collect(self) -> List[_StreamWindow]:
+        out: List[_StreamWindow] = []
+        while len(out) < self.maxw:
+            w = self.wr.next_window()
+            if w is None:
+                break
+            out.append(w)
+        return out
+
+    def _prep(self, windows: List[_StreamWindow]) -> _BatchPrep:
+        if self.sep_b is None or len(windows) == 1:
+            return _BatchPrep(windows)
+        sep_b = self.sep_b
+        sep_blen = len(sep_b)
+        offs: List[int] = []
+        pos = 0
+        bparts: List[bytes] = []
+        for w in windows:
+            offs.append(pos)
+            pos += w.nbytes
+            bparts.append(w.data)
+            pos += sep_blen
+            bparts.append(sep_b)
+        sb = b"".join(bparts)
+        # One decode for the whole batch (windows are valid UTF-8 by
+        # WindowReader construction; separators are ASCII control chars).
+        st = sb.decode("utf-8")
+        # Build the haystack view HERE: view_of's content key is
+        # ``hash(str)`` — a 48 MiB siphash (~40 ms) that would otherwise land
+        # on the search worker's critical path every batch (each batch is a
+        # fresh str object, so the str's cached hash starts cold). Seeding
+        # the byte cache also spares the decode-side re-encode.
+        from .utils.graphemes import register_view, view_of
+
+        view = view_of(st, self.case_insensitive)
+        if view._bytes is None and view.ascii:
+            view._bytes = sb
+        register_view(view)
+        return _BatchPrep(windows, sb, st, offs, view)
+
+    def _run(self) -> None:
+        try:
+            # Prime the pipeline with a small first batch: the search worker
+            # idles until prep 1 lands, and a full 48 MiB prep (segment +
+            # join + decode) is ~100 ms of dead startup time per call.
+            import os as _os_p
+
+            prime = int(_os_p.environ.get("FAC_PRIME_DIV", "1"))
+            self.maxw, full = max(1, self.maxw // max(prime, 1)), self.maxw
+            cur = self._collect()
+            self.maxw = full
+            while cur:
+                nxt = self._collect()
+                # Fold a short stream tail into the previous batch instead of
+                # paying a dispatch for it. Geometry stays deterministic
+                # (batch splits decide superwindow CONTENT, which keys the
+                # device residency cache and the compiled bucket shapes).
+                if nxt and len(nxt) * 6 <= self.maxw:
+                    cur = cur + nxt
+                    nxt = self._collect()
+                self.q.put(self._prep(cur))
+                cur = nxt
+            self.q.put(None)
+        except BaseException as e:  # propagate IO errors once (stream.rs:165-204)
+            self.exc = e
+            self.q.put(None)
+
+    def next(self) -> Optional[_BatchPrep]:
+        p = self.q.get()
+        if p is None and self.exc is not None:
+            exc, self.exc = self.exc, None
+            raise exc
+        return p
+
+
+def _search_prep(engine, prep: _BatchPrep, threshold: float):
+    """One batched device search (worker thread): returns the raw
+    superwindow result — per-window post-processing happens on the emit side
+    (:func:`_post_replace_batch`), keeping this thread dispatch-bound.
+
+    Seeds the haystack view's byte cache with the producer's already-joined
+    bytes: the ASCII transcodes and the match decode all consume
+    ``view.hay_bytes()``, and re-encoding a 48 MiB str three times per batch
+    was pure memcpy waste."""
+    if prep.super_text is None:
+        return [
+            _window_replace_matches(engine, w.text, w.commit, threshold)
+            for w in prep.windows
+        ]
+    # prep.view was built (and its bytes seeded) on the producer thread;
+    # view_of inside the search hits it by object identity.
+    return engine.search_raw(prep.super_text, threshold)
+
+
+def _post_replace_batch(engine, prep: _BatchPrep, raw):
+    """Per-window owned, non-overlapping, position-sorted match lists for
+    replacement, from one batch's raw superwindow result — struct-of-arrays
+    throughout.
+
+    The object path (:func:`_split_super_matches` + per-window
     ``FuzzyMatches.apply``) constructs a FuzzyMatch per raw emission and
     sorts Python objects; at streaming match densities that Python work
     dominates the wall clock. Here the windowing, Default ranking and the
@@ -466,29 +600,10 @@ def _batch_replace_owned(engine, windows: List[_StreamWindow], threshold: float)
 
     from .structs import LazyMatchList
 
-    sep_char = _separator_char(engine)
-    if sep_char is None or len(windows) == 1:
-        return [
-            _window_replace_matches(engine, w.text, w.commit, threshold)
-            for w in windows
-        ]
-    sep = sep_char * (engine.max_match_graphemes() + 1)
-    sep_b = sep.encode("ascii")
-    sep_blen = len(sep_b)
-    offs: List[int] = []
-    pos = 0
-    bparts: List[bytes] = []
-    for w in windows:
-        offs.append(pos)
-        pos += w.nbytes
-        bparts.append(w.data)
-        pos += sep_blen
-        bparts.append(sep_b)
-    # One join + one decode for the whole batch — per-window strs stay
-    # undecoded on the ASCII path.
-    super_text = b"".join(bparts).decode("utf-8")
+    if prep.super_text is None:
+        return raw  # _search_prep already produced per-window owned lists
 
-    raw = engine.search_raw(super_text, threshold)
+    windows, offs = prep.windows, prep.offs
     if not (isinstance(raw, LazyMatchList) and raw.unmaterialized):
         # Host-oracle result (plain objects): the classic per-window path.
         per = _split_super_matches(engine, windows, offs, raw)
@@ -517,48 +632,58 @@ def _batch_replace_owned(engine, windows: List[_StreamWindow], threshold: float)
     sl = s - los[wi]
     el = e - los[wi]
 
-    # Default order within each window (window-major lexsort): similarity
+    # Default order within each window (window-major lexsort — wi is the
+    # PRIMARY key, so the sorted rows are contiguous per window): similarity
     # desc, pattern len desc, text len desc, start, end, pattern index.
     order = np.lexsort(
         (pat, el, sl, -(el - sl), -plens, -sim.astype(np.float64), wi)
     )
-    # Greedy interval scheduling per window in that order.
-    w_starts: dict[int, list] = {}
-    w_ends: dict[int, list] = {}
-    kept_per_w: dict[int, list] = {}
-    sl_o, el_o, wi_o = sl[order], el[order], wi[order]
-    for r in range(len(order)):
-        w = int(wi_o[r])
-        ss, ee = int(sl_o[r]), int(el_o[r])
-        starts = w_starts.setdefault(w, [])
-        ends = w_ends.setdefault(w, [])
-        p = _bisect.bisect_left(starts, ss)
-        if (p == 0 or ends[p - 1] <= ss) and (p == len(starts) or starts[p] >= ee):
-            starts.insert(p, ss)
-            ends.insert(p, ee)
-            kept_per_w.setdefault(w, []).append(int(order[r]))
+    # Greedy interval scheduling per window in that order. Native byte-
+    # occupancy pass when available (windows are disjoint superwindow byte
+    # ranges, so global-coordinate greedy == per-window greedy); pure-Python
+    # bisect loop otherwise.
+    from .utils import native as _native
+
+    s_o, e_o, wi_o = s[order], e[order], wi[order]
+    keep = _native.greedy_nonoverlap(s_o, e_o, int(his[-1]))
+    if keep is None:
+        keep = np.zeros(len(order), dtype=bool)
+        w_starts: dict[int, list] = {}
+        w_ends: dict[int, list] = {}
+        sl_o, el_o = sl[order], el[order]
+        for r in range(len(order)):
+            w = int(wi_o[r])
+            ss, ee = int(sl_o[r]), int(el_o[r])
+            starts = w_starts.setdefault(w, [])
+            ends = w_ends.setdefault(w, [])
+            p = _bisect.bisect_left(starts, ss)
+            if (p == 0 or ends[p - 1] <= ss) and (p == len(starts) or starts[p] >= ee):
+                starts.insert(p, ss)
+                ends.insert(p, ee)
+                keep[r] = True
+    kept_rows = order[keep]
+    wi_kept = wi_o[keep]  # non-decreasing (window-major sort)
+    bounds_w = np.searchsorted(wi_kept, np.arange(len(windows) + 1))
 
     patterns = raw._patterns
-    out: List[List[FuzzyMatch]] = []
+    out = []
     for widx, w in enumerate(windows):
-        rows = kept_per_w.get(widx)
-        if not rows:
+        r = kept_rows[bounds_w[widx] : bounds_w[widx + 1]]
+        if not len(r):
             out.append([])
             continue
         # ownership + final (start, end) order (starts are unique post
         # non-overlap, so a start sort is total). The kept matches become a
-        # window-local LazyMatchList: the FuzzyMatch objects materialize on
-        # the *emitting* thread, off this (search-side) one.
-        r = np.asarray(rows, dtype=np.int64)
+        # window-local LazyMatchList: FuzzyMatch objects only materialize if
+        # the callback path needs them.
         sl_w = s[r] - los[widx]
         own = sl_w < w.commit
         r = r[own]
-        order = np.argsort(sl_w[own], kind="stable")
-        r = r[order]
-        wb = w.data
+        order_w = np.argsort(sl_w[own], kind="stable")
+        r = r[order_w]
         out.append(
             LazyMatchList(
-                patterns, wb, s[r] - los[widx], e[r] - los[widx],
+                patterns, w.data, s[r] - los[widx], e[r] - los[widx],
                 pat[r], sim[r], cnts[r],
             )
         )
@@ -614,15 +739,27 @@ class _ReplaceCursor:
         self.written = 0
 
     def emit_window_table(self, writer, table, base: int, data: bytes,
-                          commit: int, sb, eb, pat) -> None:
+                          commit: int, sb, eb, pat, rt=None) -> None:
         """Table-replacement emit: no FuzzyMatch objects, no callback — the
         replacement is ``table[pattern_index]`` bytes (None = keep). One
         join + one write per window; ~20x less Python per match than the
         callback path, which is what lets a GIL-bound pipeline keep pace
         with the device search (the reference's FuzzyReplacer fast path,
-        src/replacer.rs:35-52)."""
-        parts = []
+        src/replacer.rs:35-52). With ``rt`` (a native.ReplacementTable) and
+        the native library present, the whole window assembles in one C pass
+        straight into a buffer — one copy instead of slice + join + write."""
         cur = self.emitted - base
+        if rt is not None:
+            from .utils import native as _native
+
+            res = _native.replace_emit_table(data, cur, commit, sb, eb, pat, rt)
+            if res is not None:
+                out_arr, new_cur = res
+                writer.write(out_arr)
+                self.written += len(out_arr)
+                self.emitted = base + new_cur
+                return
+        parts = []
         nt = len(table)
         for s, e_, p in zip(sb.tolist(), eb.tolist(), pat.tolist()):
             if s < cur:
@@ -697,82 +834,84 @@ def replace_stream_parallel(engine, reader, writer, shards: int, threshold: floa
     """Parallel replace with in-stream-order reassembly; byte-identical to
     :func:`replace_stream` (reference src/stream.rs:533-638).
 
-    Windows are searched in batches (device-parallel); output is reassembled
-    in producer order on the calling thread, mirroring the reference's
-    seq-tagged collector (src/stream.rs:603-630).
+    Four-stage pipeline (the reference's producer + worker pool + seq-tagged
+    collector, src/stream.rs:533-638, TPU-shaped):
+
+    * producer thread — reads/segments windows AND assembles superwindow
+      batches (bytes join + one str decode), ahead of the device;
+    * ONE search worker — transcode + slice upload + kernel dispatch only
+      (concurrent device searches interleave their slice dispatches and
+      anti-scale on the device queue; the dispatch chain IS the scarce
+      resource and stays saturated);
+    * the calling thread — per-window SoA post-processing
+      (:func:`_post_replace_batch`) + strictly in-stream-order byte emit.
+
+    Batches group windows to ~BATCH_BYTES per dispatch — the kernels are
+    data-parallel over starts, so batching is pure overhead amortization —
+    and two batches stay in flight so every stage has work.
     """
     shards = max(1, shards)
+    import os as _os
+    import time as _time
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
     from .structs import LazyMatchList
 
     table = _as_replacement_table(callback)
-    wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
-    prod = _WindowProducer(wr, depth=max(4, min(4 * shards, 112)))
-    cursor = _ReplaceCursor()
-    # Three-stage pipeline (the reference's producer + worker pool +
-    # seq-tagged collector, src/stream.rs:533-638): the producer thread
-    # segments windows ahead; TWO search workers keep the device busy while
-    # a finished batch's result buffer crosses the host link (the searches
-    # serialize on the device queue, their readbacks overlap the other's
-    # compute); the calling thread reassembles strictly in stream order.
-    # Batches group windows to ~BATCH_BYTES per dispatch — the kernels are
-    # data-parallel over starts, so batching is pure overhead amortization.
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
+    rt = None
+    if table is not None:
+        from .utils import native as _native
 
+        rt = _native.ReplacementTable(table)
+    wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
+    cursor = _ReplaceCursor()
     # Each dispatch carries a fixed host-link latency (~30-45 ms on tunneled
     # rigs) and a ~2.5 GB/s marginal rate — batch big so the fixed cost
-    # amortizes; the producer queue is sized to keep two batches in flight.
+    # amortizes; two preps queue ahead so the worker never waits on the join.
     BATCH_BYTES = 48 << 20
     max_batch_windows = max(1, min(2 * shards, -(-BATCH_BYTES // wr.window)))
+    sep_char = _separator_char(engine)
+    sep_b = (
+        None if sep_char is None
+        else (sep_char * (engine.max_match_graphemes() + 1)).encode("ascii")
+    )
+    prod = _PrepProducer(
+        wr, max_batch_windows, sep_b, engine.case_insensitive, depth=2
+    )
 
-    def _batches():
-        # Deterministic batch geometry (batch splits decide superwindow
-        # CONTENT, which keys the device residency cache and the compiled
-        # bucket shapes — a timing-dependent split would thrash both): fixed
-        # size, with a one-batch lookahead that folds a short stream tail
-        # into the previous batch instead of paying a dispatch for it.
-        cur = prod.next_batch(max_batch_windows)
-        while cur:
-            nxt = prod.next_batch(max_batch_windows)
-            if nxt and len(nxt) * 6 <= max_batch_windows:
-                cur = cur + nxt
-                nxt = prod.next_batch(max_batch_windows)
-            yield cur
-            cur = nxt
-
-    gen = _batches()
-    # ONE search worker on purpose: concurrent device searches interleave
-    # their slice dispatches and anti-scale on the device queue (measured
-    # ~1.3x slower than back-to-back); the pipeline parallelism comes from
-    # overlapping the worker's search with this thread's in-order emit and
-    # the producer's window segmentation.
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        inflight: deque = deque()  # (windows, future), stream order
+    _timing = _os.environ.get("FAC_TIME") == "1"
+    _wait_s = _post_s = _emit_s = 0.0
+    nw = int(_os.environ.get("FAC_REPLACE_WORKERS", "1"))
+    with ThreadPoolExecutor(max_workers=max(1, nw)) as pool:
+        inflight: deque = deque()  # (prep, future), stream order
         eof = False
         while inflight or not eof:
-            while not eof and len(inflight) < 2:
-                batch_windows = next(gen, None)
-                if not batch_windows:
+            while not eof and len(inflight) < 1 + max(1, nw):
+                prep = prod.next()
+                if prep is None:
                     eof = True
                     break
-                inflight.append((
-                    batch_windows,
-                    pool.submit(
-                        _batch_replace_owned, engine, batch_windows, threshold
-                    ),
-                ))
+                inflight.append(
+                    (prep, pool.submit(_search_prep, engine, prep, threshold))
+                )
             if not inflight:
                 break
-            held, fut = inflight.popleft()
-            for w, owned in zip(held, fut.result()):
+            prep, fut = inflight.popleft()
+            _tw = _time.perf_counter() if _timing else 0.0
+            raw = fut.result()
+            _tp = _time.perf_counter() if _timing else 0.0
+            owned_lists = _post_replace_batch(engine, prep, raw)
+            _te = _time.perf_counter() if _timing else 0.0
+            for w, owned in zip(prep.windows, owned_lists):
                 if table is not None and isinstance(owned, LazyMatchList) \
                         and owned.unmaterialized:
                     cursor.emit_window_table(
                         writer, table, w.base, owned._hay_bytes, w.commit,
                         np.asarray(owned._start), np.asarray(owned._end),
-                        np.asarray(owned._pat),
+                        np.asarray(owned._pat), rt=rt,
                     )
                 else:
                     cursor.emit_window(
@@ -782,4 +921,16 @@ def replace_stream_parallel(engine, reader, writer, shards: int, threshold: floa
                               if m.pattern_index < len(callback) else None),
                         w.base, w.text, w.commit, owned,
                     )
+            if _timing:
+                _wait_s += _tp - _tw
+                _post_s += _te - _tp
+                _emit_s += _time.perf_counter() - _te
+    if _timing:
+        import sys as _sys
+
+        print(
+            f"[FAC_TIME replace] wait={_wait_s * 1e3:.1f}ms "
+            f"post={_post_s * 1e3:.1f}ms emit={_emit_s * 1e3:.1f}ms",
+            file=_sys.stderr,
+        )
     return cursor.written

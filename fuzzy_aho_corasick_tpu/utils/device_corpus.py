@@ -23,8 +23,12 @@ from typing import Callable, Tuple
 
 import numpy as np
 
-#: Device bytes the cache may hold before LRU eviction.
-CAPACITY_BYTES = 4 << 30
+#: Device bytes the cache may hold before LRU eviction. v5e carries 16 GB
+#: HBM; scan transients peak ~1-2 GB, so 6 GB of resident corpora leaves
+#: ample headroom — at 4 GB a bench run holding a 96 MiB corpus in three
+#: symbol spaces plus two streaming superwindow batches thrashed the LRU,
+#: re-paying the ~64 MB/s tunneled upload every streaming pass.
+CAPACITY_BYTES = 6 << 30
 #: Smallest bucketed length (keeps tiny corpora off the recompile treadmill).
 MIN_BUCKET = 1 << 16
 #: Guaranteed dead-symbol tail past ``n`` in every resident buffer, so
@@ -41,6 +45,44 @@ _held_bytes = 0
 #: still verified by full string equality, so a sample collision costs one
 #: memcmp, never correctness.
 _SAMPLED_HASH_MIN = 1 << 20
+
+
+#: Last str OBJECT verified (by full equality) to carry each content key —
+#: the LRU's collision guard memcmps ``hit[0] == haystack`` per key, and a
+#: streaming pass that rebuilds one superwindow str touches 8+ slice keys:
+#: 8 x 48 MiB memcmps (~40 ms) for one logical verification. One memcmp per
+#: (object, content) instead; bounded alongside the LRU itself.
+_VERIFIED: "OrderedDict[tuple, object]" = OrderedDict()
+_VERIFIED_MAX = 32
+
+
+def _hit_fresh(hkey: tuple, stored, haystack: str) -> bool:
+    """Whether ``stored`` (the LRU entry's haystack) matches ``haystack`` —
+    by identity, by this object's prior verification, or by one memcmp."""
+    if stored is haystack:
+        return True
+    if _VERIFIED.get(hkey) is haystack:
+        return True
+    if stored == haystack:
+        _VERIFIED[hkey] = haystack
+        _VERIFIED.move_to_end(hkey)
+        while len(_VERIFIED) > _VERIFIED_MAX:
+            _VERIFIED.popitem(last=False)
+        return True
+    return False
+
+
+def _evict_to_capacity() -> None:
+    """LRU-evict until under CAPACITY_BYTES. Entries hold either one device
+    array or a (ids, w32) pair (sliced residency) — handle both."""
+    global _held_bytes
+    while _held_bytes > CAPACITY_BYTES and len(_lru) > 1:
+        _, (_, old_dev, _old_n) = _lru.popitem(last=False)
+        if isinstance(old_dev, tuple):
+            _held_bytes -= sum(a.size * a.dtype.itemsize for a in old_dev)
+        else:
+            _held_bytes -= old_dev.size * old_dev.dtype.itemsize
+        del old_dev
 
 
 def _content_key(haystack: str) -> tuple:
@@ -82,9 +124,10 @@ def resident(
     import jax
 
     global _held_bytes
-    key = _content_key(haystack) + (space,)
+    hkey = _content_key(haystack)
+    key = hkey + (space,)
     hit = _lru.get(key)
-    if hit is not None and (hit[0] is haystack or hit[0] == haystack):
+    if hit is not None and _hit_fresh(hkey, hit[0], haystack):
         if hit[0] is not haystack:  # skip the memcmp for the sibling lookups
             _lru[key] = (haystack,) + hit[1:]
         _lru.move_to_end(key)
@@ -100,10 +143,7 @@ def resident(
     nbytes = nb * ids.dtype.itemsize
     _held_bytes += nbytes
     _lru[key] = (haystack, dev, n)
-    while _held_bytes > CAPACITY_BYTES and len(_lru) > 1:
-        _, (_, old_dev, old_n) = _lru.popitem(last=False)
-        _held_bytes -= old_dev.size * old_dev.dtype.itemsize
-        del old_dev
+    _evict_to_capacity()
     return dev, n
 
 
@@ -132,9 +172,10 @@ def resident_words(
 
     global _held_bytes, _pack_w32
     ids, n = resident(haystack, space, transcode)
-    key = _content_key(haystack) + (("w32",) + space,)
+    hkey = _content_key(haystack)
+    key = hkey + (("w32",) + space,)
     hit = _lru.get(key)
-    if hit is not None and (hit[0] is haystack or hit[0] == haystack):
+    if hit is not None and _hit_fresh(hkey, hit[0], haystack):
         if hit[0] is not haystack:
             _lru[key] = (haystack,) + hit[1:]
         _lru.move_to_end(key)
@@ -152,10 +193,7 @@ def resident_words(
     w32 = jax.block_until_ready(_pack_w32(ids))
     _held_bytes += w32.size * 4
     _lru[key] = (haystack, w32, n)
-    while _held_bytes > CAPACITY_BYTES and len(_lru) > 1:
-        _, (_, old_dev, old_n) = _lru.popitem(last=False)
-        _held_bytes -= old_dev.size * old_dev.dtype.itemsize
-        del old_dev
+    _evict_to_capacity()
     return ids, w32, n
 
 
@@ -189,7 +227,7 @@ def resident_words_sliced(
     for i, (base, ln) in enumerate(bounds):
         key = hkey + (space, "sl", base, ln, pad_len)
         hit = _lru.get(key)
-        if hit is not None and (hit[0] is haystack or hit[0] == haystack):
+        if hit is not None and _hit_fresh(hkey, hit[0], haystack):
             if hit[0] is not haystack:
                 _lru[key] = (haystack,) + hit[1:]
             _lru.move_to_end(key)
@@ -223,13 +261,7 @@ def resident_words_sliced(
         res[i] = pair
         _held_bytes += pad_len * 5  # u8 ids + u32 view
         _lru[hkey + (space, "sl", base, ln, pad_len)] = (haystack, pair, ln)
-    while _held_bytes > CAPACITY_BYTES and len(_lru) > 1:
-        _, (_, old_dev, _old_n) = _lru.popitem(last=False)
-        if isinstance(old_dev, tuple):
-            _held_bytes -= sum(a.size * a.dtype.itemsize for a in old_dev)
-        else:
-            _held_bytes -= old_dev.size * old_dev.dtype.itemsize
-        del old_dev
+    _evict_to_capacity()
     return res
 
 
@@ -237,4 +269,5 @@ def clear() -> None:
     """Drop every cached device buffer (tests / memory pressure)."""
     global _held_bytes
     _lru.clear()
+    _VERIFIED.clear()
     _held_bytes = 0

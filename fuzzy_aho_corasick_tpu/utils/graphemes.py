@@ -124,6 +124,22 @@ def _view_cost(view: "HaystackView") -> int:
     return len(view.haystack) * (1 if view.ascii else 8)
 
 
+#: Identity-keyed registry of pre-built views (streaming superwindows):
+#: skips the content hash entirely — hash(str) of a fresh 48 MiB batch str is
+#: ~40 ms on the critical path. Entries keep their str alive, so an id()
+#: cannot be reused while its entry lives; the `is` check rejects impostors.
+_VIEW_BY_ID: "dict[int, HaystackView]" = {}
+_VIEW_BY_ID_MAX = 8
+
+
+def register_view(view: "HaystackView") -> None:
+    """Pre-register a view for identity-based lookup (producer threads build
+    views ahead of the search; see stream._PrepProducer)."""
+    _VIEW_BY_ID[id(view.haystack)] = view
+    while len(_VIEW_BY_ID) > _VIEW_BY_ID_MAX:
+        _VIEW_BY_ID.pop(next(iter(_VIEW_BY_ID)))
+
+
 def view_of(haystack: str, case_insensitive: bool) -> "HaystackView":
     """Small content-keyed LRU cache of :class:`HaystackView` instances.
 
@@ -133,6 +149,10 @@ def view_of(haystack: str, case_insensitive: bool) -> "HaystackView":
     the full segmentation pass. Keyed like the device-corpus cache —
     ``hash(str)`` is cached inside the str object, equality guards collisions.
     """
+    v = _VIEW_BY_ID.get(id(haystack))
+    if v is not None and v.haystack is haystack \
+            and v.case_insensitive == case_insensitive:
+        return v
     key = (hash(haystack), len(haystack), case_insensitive)
     hit = _VIEW_LRU.get(key)
     if hit is not None and (hit.haystack is haystack or hit.haystack == haystack):

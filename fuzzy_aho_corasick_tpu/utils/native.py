@@ -69,6 +69,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             vp, i64,                       # out_rows, out_cap
         ]
         lib.bfs_search.restype = i64
+    pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    if hasattr(lib, "greedy_nonoverlap"):
+        lib.greedy_nonoverlap.argtypes = [pi64, pi64, i64, p8, p8]
+    if hasattr(lib, "replace_emit_table"):
+        lib.replace_emit_table.argtypes = [
+            ctypes.c_char_p, i64,          # data, commit
+            pi64, pi64, p32, i64,          # s, e, pat, n
+            p8, pi64, i32, p8,             # tbl, tbl_off, ntbl, keep_orig
+            pi64, p8,                      # state, out
+        ]
+        lib.replace_emit_table.restype = i64
     _ = (ps8, pf32)  # (kept for symmetry with future signatures)
     return lib
 
@@ -121,3 +132,64 @@ def bitap_scan_hits(mask: np.ndarray, m: int, k: int, ids: np.ndarray) -> Option
         np.ascontiguousarray(mask, dtype=np.uint64), m, k, ids8, len(ids8), r, nr, hit
     )
     return hit
+
+
+def greedy_nonoverlap(s: np.ndarray, e: np.ndarray, span: int) -> Optional[np.ndarray]:
+    """Keep flags for greedy interval scheduling over rows already in rank
+    order (superwindow-global, disjoint-window coordinates); None when the
+    native library is unavailable (the caller runs the bisect loop)."""
+    L = lib()
+    if L is None or not hasattr(L, "greedy_nonoverlap"):
+        return None
+    s64 = np.ascontiguousarray(s, dtype=np.int64)
+    e64 = np.ascontiguousarray(e, dtype=np.int64)
+    occ = np.zeros(max(span, 1), dtype=np.uint8)
+    keep = np.empty(len(s64), dtype=np.uint8)
+    L.greedy_nonoverlap(s64, e64, len(s64), occ, keep)
+    return keep.view(bool)
+
+
+class ReplacementTable:
+    """Flattened replacement table for the native emit: concatenated bytes +
+    offsets + keep-original flags (None entries)."""
+
+    __slots__ = ("tbl", "off", "keep", "n", "max_len")
+
+    def __init__(self, table):
+        parts = []
+        off = [0]
+        keep = []
+        for r in table:
+            if r is None:
+                keep.append(1)
+                parts.append(b"")
+            else:
+                keep.append(0)
+                parts.append(r)
+            off.append(off[-1] + len(parts[-1]))
+        self.tbl = np.frombuffer(b"".join(parts) or b"\0", dtype=np.uint8)
+        self.off = np.asarray(off, dtype=np.int64)
+        self.keep = np.asarray(keep, dtype=np.uint8)
+        self.n = len(table)
+        self.max_len = int(max((len(p) for p in parts), default=0))
+
+
+def replace_emit_table(data: bytes, cur: int, commit: int, s, e, pat,
+                       rt: "ReplacementTable") -> Optional[tuple]:
+    """One window's table-replacement emit in C: returns (out_bytes, new_cur)
+    or None when the native library is unavailable."""
+    L = lib()
+    if L is None or not hasattr(L, "replace_emit_table"):
+        return None
+    s64 = np.ascontiguousarray(s, dtype=np.int64)
+    e64 = np.ascontiguousarray(e, dtype=np.int64)
+    p32 = np.ascontiguousarray(pat, dtype=np.int32)
+    n = len(s64)
+    cap = (commit - min(cur, commit)) + n * rt.max_len + 1
+    out = np.empty(cap, dtype=np.uint8)
+    state = np.array([cur], dtype=np.int64)
+    written = L.replace_emit_table(
+        data, commit, s64, e64, p32, n, rt.tbl, rt.off, rt.n, rt.keep,
+        state, out,
+    )
+    return out[:written], int(state[0])
