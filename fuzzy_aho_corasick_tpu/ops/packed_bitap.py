@@ -249,6 +249,13 @@ class PackedFuzzy:
             _starts_mask(offsets, W), max(ms),
         )
 
+    def notlast(self) -> np.ndarray:
+        """[2W] u32 mask with every field's LAST bit cleared — the Damerau
+        recurrence's bc_next guard (a shr1 of a char mask must not leak a
+        neighbouring field's first char into this field's last position)."""
+        last = _last_bit_mask(self.offsets, self.ms, 1, lambda i: 0, self.W)[0]
+        return np.uint32(0xFFFFFFFF) ^ last
+
     def fuzzy_masks(self, ks: List[int]) -> Tuple[np.ndarray, np.ndarray, int]:
         """(match [k+1, 2W], init [k+1, 2W], k) for per-pattern budgets; the
         init rows reproduce the reference's fresh-start state ``(1 << d) - 1``
@@ -268,18 +275,38 @@ class PackedFuzzy:
 # Kernel
 # ---------------------------------------------------------------------------
 
-def scan_consts(word_tbl, starts, match, init) -> tuple:
+def scan_consts(word_tbl, starts, match, init, notlast=None) -> tuple:
     """Hashable u32-literal form of the scan tables, for baking into the
     kernel (see :func:`_kernel_factory` ``consts``). Must be part of the
-    calling jit's static key."""
+    calling jit's static key.
+
+    ``notlast`` (a [2W] u32 mask clearing every field's LAST bit) switches
+    the kernel to the Damerau-aware recurrence: native adjacent-transposition
+    transitions at 1 error, so swap-permitting budgets scan with k = edits
+    instead of k = 2*edits (reference prefilter.rs:174-183's swap-doubling
+    becomes unnecessary device-side)."""
     w = np.ascontiguousarray(word_tbl).view(np.uint32)
     tt2 = lambda a: tuple(tuple(int(v) for v in r) for r in np.asarray(a, dtype=np.uint32))
-    return (
+    base = (
         tt2(w),
         tuple(int(v) for v in np.asarray(starts, dtype=np.uint32)),
         tt2(match),
         tt2(init),
     )
+    if notlast is None:
+        return base
+    return base + (tuple(int(v) for v in np.asarray(notlast, dtype=np.uint32)),)
+
+
+def _damerau_of(consts, k: int) -> bool:
+    """Whether a consts tuple requests the Damerau recurrence."""
+    return consts is not None and len(consts) == 5 and k >= 1
+
+
+def _scan_rows(consts, k: int) -> int:
+    """Persistent scratch rows: k+1 error rows, plus k pending-transposition
+    rows under the Damerau recurrence."""
+    return (k + 1) + (k if _damerau_of(consts, k) else 0)
 
 
 def _shl1(lo, hi):
@@ -302,8 +329,13 @@ def _kernel_factory(
     specialization is exactly the reference's monomorphization move,
     src/search.rs:204-393 — applied to data instead of types)."""
 
+    damerau = _damerau_of(consts, k)
+    rrows = _scan_rows(consts, k)
     if consts is not None:
-        tbl_c, starts_c, match_c, init_c = consts
+        if damerau or len(consts) == 5:
+            tbl_c, starts_c, match_c, init_c, notlast_c = consts
+        else:
+            tbl_c, starts_c, match_c, init_c = consts
 
     def kern(tbl_ref, starts_ref, match_ref, init_ref, lanes_ref, *rest):
         # rest = flag_ref, [2W words refs], r_ref, ids_ref
@@ -320,6 +352,12 @@ def _kernel_factory(
                         r_ref[d, i, :] = jnp.full((NL,), init_c[d][i], jnp.uint32)
                     else:
                         r_ref[d, i, :] = init_ref[d, i, :]
+            # Pending-transposition rows start empty (a swap cannot be
+            # half-read before the stream begins; dead pad symbols keep
+            # them empty, so zero is the lane-halo fixpoint too).
+            for d in range(k + 1, rrows):
+                for i in range(2 * W):
+                    r_ref[d, i, :] = jnp.zeros((NL,), jnp.uint32)
 
         if consts is not None:
             starts = [jnp.uint32(starts_c[i]) for i in range(2 * W)]
@@ -358,13 +396,28 @@ def _kernel_factory(
                         wv = tbl_ref[c, i].astype(jnp.uint32)  # SMEM scalar
                         bc[i] = jnp.where(mask, wv, bc[i])
 
-            new = [[None] * (2 * W) for _ in range(k + 1)]
-            prev = [[r_ref[d, i, :] for i in range(2 * W)] for d in range(k + 1)]
+            new = [[None] * (2 * W) for _ in range(rrows)]
+            prev = [[r_ref[d, i, :] for i in range(2 * W)] for d in range(rrows)]
+            one = jnp.uint32(1)
             for lw in range(W):
                 lo_i, hi_i = 2 * lw, 2 * lw + 1
                 s_lo, s_hi = _shl1(prev[0][lo_i], prev[0][hi_i])
                 new[0][lo_i] = (s_lo | starts[lo_i]) & bc[lo_i]
                 new[0][hi_i] = (s_hi | starts[hi_i]) & bc[hi_i]
+                if damerau:
+                    # bcn[c] bit j == "p[j+1] == c" (shr1 of bc within the
+                    # limb; each field's last bit cleared so a neighbouring
+                    # field's first char cannot bleed in), and sbc bit j+1
+                    # == "p[j] == c" (shl1 of bc; its cross-field leak lands
+                    # on bit 0, which rows d >= 1 hold permanently active
+                    # via the starts OR — absorbed like every other shift
+                    # leak in this packing).
+                    bcn_lo = (
+                        (bc[lo_i] >> one)
+                        | (bc[hi_i] << jnp.uint32(31))
+                    ) & jnp.uint32(notlast_c[lo_i])
+                    bcn_hi = (bc[hi_i] >> one) & jnp.uint32(notlast_c[hi_i])
+                    sbc_lo, sbc_hi = _shl1(bc[lo_i], bc[hi_i])
                 for d in range(1, k + 1):
                     a_lo, a_hi = _shl1(prev[d][lo_i], prev[d][hi_i])
                     a_lo &= bc[lo_i]
@@ -374,6 +427,22 @@ def _kernel_factory(
                     b_lo, b_hi = _shl1(u_lo, u_hi)
                     new[d][lo_i] = a_lo | b_lo | prev[d - 1][lo_i] | starts[lo_i]
                     new[d][hi_i] = a_hi | b_hi | prev[d - 1][hi_i] | starts[hi_i]
+                    if damerau:
+                        # Complete a pending transposition: S holds "read
+                        # p[j+1] last step from a d-1 prefix through j-1";
+                        # reading p[j] now lands the state on bit j+1 at
+                        # row d (swap = ONE error).
+                        t_lo, t_hi = _shl1(
+                            prev[k + d][lo_i], prev[k + d][hi_i]
+                        )
+                        new[d][lo_i] |= t_lo & sbc_lo
+                        new[d][hi_i] |= t_hi & sbc_hi
+                        # Open new pending transpositions from row d-1
+                        # (fresh starts included: a swap of the first two
+                        # pattern chars begins from the empty prefix).
+                        p_lo, p_hi = _shl1(prev[d - 1][lo_i], prev[d - 1][hi_i])
+                        new[k + d][lo_i] = (p_lo | starts[lo_i]) & bcn_lo
+                        new[k + d][hi_i] = (p_hi | starts[hi_i]) & bcn_hi
 
             acc = jnp.zeros((NL,), jnp.uint32)
             for i in range(2 * W):
@@ -388,7 +457,7 @@ def _kernel_factory(
             # pass crashes on packed-int8 row stores on this toolchain.)
             flag_ref[t, :] = (acc != jnp.uint32(0)).astype(jnp.int32)
 
-            for d in range(k + 1):
+            for d in range(rrows):
                 for i in range(2 * W):
                     r_ref[d, i, :] = new[d][i]
             return 0
@@ -453,7 +522,7 @@ def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, ro
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((k + 1, 2 * W, NL), jnp.uint32),
+            pltpu.VMEM((_scan_rows(consts, k), 2 * W, NL), jnp.uint32),
             pltpu.VMEM((1, TB, NL), jnp.uint32),
         ],
         interpret=_interpret(),
@@ -553,7 +622,7 @@ def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
         ],
         out_specs=[io_spec] * (1 + 2 * W),
         scratch_shapes=[
-            pltpu.VMEM((k + 1, 2 * W, REPLAY_NL), jnp.uint32),
+            pltpu.VMEM((_scan_rows(consts, k), 2 * W, REPLAY_NL), jnp.uint32),
             pltpu.VMEM((1, TB2, REPLAY_NL), jnp.uint32),
         ],
         interpret=_interpret(),

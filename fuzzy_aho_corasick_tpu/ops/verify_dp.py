@@ -1599,18 +1599,36 @@ def fuzzy_search_dp(engine, haystack: str, threshold, view, n: int,
         # unsound for mapped engines (a score-1.0 mapping has penalty 0 but
         # costs up to max(pb, ha) unit bitap errors) — see MappedSpec.
         ks = [maps.k] * len(pk.filt.patterns)
+        dam = False
     else:
-        ks = []
+        # Damerau-aware scan budgets: the baked kernel's native transposition
+        # transition prices a swap at 1 bitap error instead of 2 (reference
+        # prefilter.rs:174-183 doubles k because plain bitap has no swap
+        # move), so swap-permitting configs scan with half the error rows
+        # AND a far more selective filter. Falls back to the plain model
+        # when it wins nothing (swaps forbidden) or FAC_NO_DAMERAU=1.
+        import os as _os_k
+
+        ks_p, ks_d = [], []
         for bp in pk.filt.patterns:
-            kq = pk.filt.k_for(bp, thr)
-            if kq is None:
-                return None
-            ks.append(kq)
+            ks_p.append(pk.filt.k_for(bp, thr))
+            ks_d.append(pk.filt.k_for(bp, thr, damerau=True))
+        dam = (
+            _os_k.environ.get("FAC_NO_DAMERAU") != "1"
+            and None not in ks_d
+            and (None in ks_p or max(ks_d) < max(ks_p))
+        )
+        ks = ks_d if dam else ks_p
+        if None in ks:
+            return None
     match, init, k = pk.fuzzy_masks(ks)
     halo = pk.m_max + k
     from .packed_bitap import scan_consts
 
-    SCAN_CONSTS = scan_consts(pk.word_tbl, pk.starts, match, init)
+    SCAN_CONSTS = scan_consts(
+        pk.word_tbl, pk.starts, match, init,
+        notlast=pk.notlast() if dam else None,
+    )
 
     dense = engine.dense
     pens = engine.penalties

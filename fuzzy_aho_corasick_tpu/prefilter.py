@@ -31,25 +31,32 @@ MAX_USEFUL_K = 24
 MAX_ALPHABET = 255
 
 
-def k_from_limits(lim: FuzzyLimits) -> Optional[int]:
+def k_from_limits(lim: FuzzyLimits, damerau: bool = False) -> Optional[int]:
     """Upper bound on Levenshtein distance under ``lim``
-    (reference src/prefilter.rs:388-405); swaps count 2."""
+    (reference src/prefilter.rs:388-405); swaps count 2 — or 1 under a
+    Damerau-aware recurrence (``damerau=True``: the packed device scan's
+    native transposition transition, ops/packed_bitap._kernel_factory)."""
+    swap_cost = 1 if damerau else 2
     if lim.edits_ is not None:
         swaps_forbidden = lim.swaps_ == 0
-        return lim.edits_ if swaps_forbidden else 2 * lim.edits_
+        return lim.edits_ if swaps_forbidden else swap_cost * lim.edits_
     if None in (lim.insertions_, lim.deletions_, lim.substitutions_, lim.swaps_):
         return None
-    return lim.insertions_ + lim.deletions_ + lim.substitutions_ + 2 * lim.swaps_
+    return (lim.insertions_ + lim.deletions_ + lim.substitutions_
+            + swap_cost * lim.swaps_)
 
 
 class _BitapPattern:
-    __slots__ = ("m", "weight", "mask", "k_limit")
+    __slots__ = ("m", "weight", "mask", "k_limit", "k_limit_d")
 
-    def __init__(self, m: int, weight: np.float32, mask: np.ndarray, k_limit: Optional[int]):
+    def __init__(self, m: int, weight: np.float32, mask: np.ndarray,
+                 k_limit: Optional[int], k_limit_d: Optional[int] = None):
         self.m = m
         self.weight = weight
         self.mask = mask  # uint64[alphabet+1]
         self.k_limit = k_limit
+        #: Budget under the Damerau-aware recurrence (swap = 1 error).
+        self.k_limit_d = k_limit_d if k_limit_d is not None else k_limit
 
 
 class BitapFilter:
@@ -61,6 +68,7 @@ class BitapFilter:
         self.case_insensitive = engine.case_insensitive
         self.patterns: List[_BitapPattern] = []
         self.edit_cost_mult: np.float32 = f32(0.0)
+        self.edit_cost_mult_d: np.float32 = f32(0.0)
         self.ascii_id = np.zeros(256, dtype=np.uint8)
 
     @staticmethod
@@ -92,6 +100,9 @@ class BitapFilter:
 
         self = BitapFilter(engine)
         self.edit_cost_mult = np.float32(max(mults))
+        # Damerau-aware recurrences pay 1 bitap error per swap, not 2.
+        mults_d = mults[:3] + [np.float32(1.0) / p.swap]
+        self.edit_cost_mult_d = np.float32(max(mults_d))
 
         id_lists: List[List[int]] = []
         for pat in engine.patterns():
@@ -115,6 +126,8 @@ class BitapFilter:
                     pat.weight,
                     np.zeros(0, dtype=np.uint64),
                     k_from_limits(applicable) if applicable is not None else None,
+                    k_from_limits(applicable, damerau=True)
+                    if applicable is not None else None,
                 )
             )
             id_lists.append(ids)
@@ -176,16 +189,21 @@ class BitapFilter:
         offsets.append(len(haystack.encode("utf-8")))
         return np.asarray(ids, dtype=np.uint8), offsets
 
-    def k_for(self, bp: _BitapPattern, threshold: np.float32) -> Optional[int]:
+    def k_for(self, bp: _BitapPattern, threshold: np.float32,
+              damerau: bool = False) -> Optional[int]:
         """Effective edit budget at this threshold, or None -> full search
-        (reference src/prefilter.rs:285-302)."""
+        (reference src/prefilter.rs:285-302). ``damerau=True`` prices a swap
+        at 1 error (sound only for scans whose recurrence has the native
+        transposition transition)."""
         n = np.float32(bp.m)
         p_max = np.float32(n * np.float32(1.0 - np.float32(threshold / bp.weight)))
+        mult = self.edit_cost_mult_d if damerau else self.edit_cost_mult
+        lim = bp.k_limit_d if damerau else bp.k_limit
         if p_max <= 0.0:
             k_pen = 0
         else:
-            k_pen = int(np.floor(np.float32(p_max * self.edit_cost_mult)))
-        k = k_pen if bp.k_limit is None else min(k_pen, bp.k_limit)
+            k_pen = int(np.floor(np.float32(p_max * mult)))
+        k = k_pen if lim is None else min(k_pen, lim)
         return None if k > MAX_USEFUL_K else k
 
     def search_unsorted(self, engine, haystack: str, threshold: float) -> List[FuzzyMatch]:

@@ -7,8 +7,17 @@ the newest device code, previously covered only by hand-picked cases. All
 slow-marked: run with FAC_FULL_TESTS=1 (the CI full job).
 """
 
+import time
+
 import numpy as np
 import pytest
+
+#: Wall-clock budget per randomized-config family: interpret-mode pallas
+#: traces a fresh kernel shape per distinct random config, which on a small
+#: CPU host is minutes, not seconds. The deadline keeps the full suite
+#: bounded; the minimum-eligible-draws assertions shrink proportionally if
+#: the budget cut the loop short.
+FUZZ_DEADLINE_S = 600.0
 
 from fuzzy_aho_corasick_tpu import (
     FuzzyAhoCorasickBuilder,
@@ -72,8 +81,9 @@ def test_typed_lane_random_configs():
     vocab = ["hello", "world", "vestibulum", "lorem", "cell", "holder"]
     rng = Rng(0x7E57ED_C0FFEE)
     ran = 0
+    t0 = time.time()
     for trial in range(120):
-        if ran >= 40:
+        if ran >= 40 or time.time() - t0 > FUZZ_DEADLINE_S:
             break
         npat = 1 + rng.next() % 4
         pats = sorted({vocab[rng.next() % len(vocab)] for _ in range(npat)})
@@ -119,7 +129,8 @@ def test_typed_lane_random_configs():
         assert sorted(map(_key, res)) == sorted(map(_key, orc)), (
             f"trial {trial}: pats={specs} thr={thr} hay={hay!r}"
         )
-    assert ran >= 20, f"too few eligible typed draws ran ({ran})"
+    floor = 20 if time.time() - t0 <= FUZZ_DEADLINE_S else 5
+    assert ran >= floor, f"too few eligible typed draws ran ({ran})"
 
 
 @pytest.mark.slow
@@ -137,8 +148,9 @@ def test_mapped_lane_random_configs():
     vocab = ["modern", "world", "clean", "wood", "dinner", "suit"]
     rng = Rng(0xAB1E0000C0DEC0DE)
     ran = 0
+    t0 = time.time()
     for trial in range(120):
-        if ran >= 30:
+        if ran >= 30 or time.time() - t0 > FUZZ_DEADLINE_S:
             break
         b = (
             FuzzyAhoCorasickBuilder.new()
@@ -175,4 +187,5 @@ def test_mapped_lane_random_configs():
         assert sorted(map(_key, res)) == sorted(map(_key, orc)), (
             f"trial {trial}: pats={pats} thr={thr} hay={hay!r}"
         )
-    assert ran >= 15, f"too few eligible mapped draws ran ({ran})"
+    floor = 15 if time.time() - t0 <= FUZZ_DEADLINE_S else 5
+    assert ran >= floor, f"too few eligible mapped draws ran ({ran})"

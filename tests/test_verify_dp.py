@@ -154,3 +154,57 @@ def test_dp_differential_unicode_corpus():
         .build(NEEDLES)
     )
     assert_dp_matches_oracle(eng, hay, 0.7)
+
+
+def test_damerau_scan_swap_differential():
+    """The baked scan's Damerau mode (swap = 1 bitap error, native
+    transposition transition — ops/packed_bitap._kernel_factory) must engage
+    for swap-permitting budgets and stay oracle-identical on swap-heavy text
+    (reference swap semantics src/search.rs:312-324; the plain model doubles
+    k instead, prefilter.rs:174-183)."""
+    import numpy as np
+
+    from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
+    from fuzzy_aho_corasick_tpu.ops.packed_bitap import packed_fuzzy_of
+    from fuzzy_aho_corasick_tpu.ops.verify_dp import fuzzy_search_dp
+    from fuzzy_aho_corasick_tpu.utils.graphemes import view_of
+
+    pats = ["tincidunt", "phaetra", "sollicitudin"]
+
+    def build():
+        return (
+            FuzzyAhoCorasickBuilder.new()
+            .fuzzy(FuzzyLimits.new().edits(1))
+            .case_insensitive(True)
+            .build(pats)
+        )
+
+    eng = build()
+    pk = packed_fuzzy_of(eng)
+    kp = [pk.filt.k_for(bp, np.float32(0.8)) for bp in pk.filt.patterns]
+    kd = [pk.filt.k_for(bp, np.float32(0.8), damerau=True) for bp in pk.filt.patterns]
+    assert max(kd) < max(kp), "Damerau budgets should halve swap-doubled k"
+
+    # Swap-heavy haystack: leading swap, trailing swap, interior swap, exact.
+    hay = "xx tnicidunt yy phaetar zz sollicitudni ww itncidunt " * 40
+    view = view_of(hay, True)
+    res = fuzzy_search_dp(eng, hay, 0.8, view, len(view))
+    assert res is not None, "DP lane must serve this config"
+
+    oracle_eng = build()
+    oracle_eng.backend = "oracle"
+    orc = oracle_eng.search_raw(hay, 0.8)
+    key = lambda m: (m.start, m.end, m.pattern_index, round(float(m.similarity), 5))
+    assert sorted(map(key, res)) == sorted(map(key, orc))
+
+    # And the plain recurrence (FAC_NO_DAMERAU) agrees too.
+    import os
+
+    os.environ["FAC_NO_DAMERAU"] = "1"
+    try:
+        eng2 = build()
+        res2 = fuzzy_search_dp(eng2, hay, 0.8, view, len(view))
+        assert res2 is not None
+        assert sorted(map(key, res2)) == sorted(map(key, orc))
+    finally:
+        os.environ.pop("FAC_NO_DAMERAU", None)
