@@ -261,10 +261,13 @@ def run_extras(detail, corpus, fengine, dictionary):
         except Exception as e:  # pragma: no cover - bench resilience
             detail["replace_stream_parallel_error"] = repr(e)
 
-    # swaps(0) keeps the bitap budget k == edits (a swap costs 2 bitap
-    # errors, reference prefilter.rs:174-183 — with swaps allowed k
-    # doubles and the scan stops pruning on random text). These configs
-    # also exercise the typed-limits DP lane.
+    # swaps(0) keeps the bitap budget k == edits. (Historical note: before
+    # the Damerau-aware scan, swap-permitting budgets doubled k — reference
+    # prefilter.rs:174-183 — and stopped pruning on random text; the
+    # headline fuzzy1 entry above now measures the swap-permitting default
+    # via the Damerau recurrence, while these stay swaps(0) for
+    # round-over-round comparability.) These configs also exercise the
+    # typed-limits DP lane.
     for edits in (2, 3):
         name = f"fuzzy{edits}"
         if not budget_ok(name, 90.0):
