@@ -933,4 +933,9 @@ def replace_stream_parallel(engine, reader, writer, shards: int, threshold: floa
             f"post={_post_s * 1e3:.1f}ms emit={_emit_s * 1e3:.1f}ms",
             file=_sys.stderr,
         )
+    # Drop the producer's identity-registered superwindow views — each pins
+    # a ~48 MiB batch str (+ seeded bytes) that is dead once the stream ends.
+    from .utils.graphemes import clear_registered_views
+
+    clear_registered_views()
     return cursor.written

@@ -47,24 +47,28 @@ _held_bytes = 0
 _SAMPLED_HASH_MIN = 1 << 20
 
 
-#: Last str OBJECT verified (by full equality) to carry each content key —
-#: the LRU's collision guard memcmps ``hit[0] == haystack`` per key, and a
-#: streaming pass that rebuilds one superwindow str touches 8+ slice keys:
-#: 8 x 48 MiB memcmps (~40 ms) for one logical verification. One memcmp per
-#: (object, content) instead; bounded alongside the LRU itself.
-_VERIFIED: "OrderedDict[tuple, object]" = OrderedDict()
+#: Last (query str, entry str) PAIR verified (by full equality) per content
+#: key — the LRU's collision guard memcmps ``hit[0] == haystack`` per key,
+#: and a streaming pass that rebuilds one superwindow str touches 8+ slice
+#: keys: 8 x 48 MiB memcmps (~40 ms) for one logical verification. One
+#: memcmp per (object, object) pair instead; bounded alongside the LRU.
+#: The pair matters: vouching for the content KEY alone would trust any
+#: sibling/replaced entry under a colliding sampled hash. Both strs are
+#: immutable, so identity of BOTH endpoints implies the memcmp'd equality.
+_VERIFIED: "OrderedDict[tuple, tuple]" = OrderedDict()
 _VERIFIED_MAX = 32
 
 
 def _hit_fresh(hkey: tuple, stored, haystack: str) -> bool:
     """Whether ``stored`` (the LRU entry's haystack) matches ``haystack`` —
-    by identity, by this object's prior verification, or by one memcmp."""
+    by identity, by this exact pair's prior verification, or by one memcmp."""
     if stored is haystack:
         return True
-    if _VERIFIED.get(hkey) is haystack:
+    v = _VERIFIED.get(hkey)
+    if v is not None and v[0] is haystack and v[1] is stored:
         return True
     if stored == haystack:
-        _VERIFIED[hkey] = haystack
+        _VERIFIED[hkey] = (haystack, stored)
         _VERIFIED.move_to_end(hkey)
         while len(_VERIFIED) > _VERIFIED_MAX:
             _VERIFIED.popitem(last=False)

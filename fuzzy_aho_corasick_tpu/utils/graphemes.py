@@ -130,14 +130,35 @@ def _view_cost(view: "HaystackView") -> int:
 #: cannot be reused while its entry lives; the `is` check rejects impostors.
 _VIEW_BY_ID: "dict[int, HaystackView]" = {}
 _VIEW_BY_ID_MAX = 8
+# Registered superwindow views pin their str plus (often) a same-size seeded
+# _bytes; a count-only cap of 8 could hold ~768 MiB of 48 MiB batches on the
+# small-host testbed. Evict by accumulated weight like _VIEW_LRU.
+_VIEW_BY_ID_MAX_BYTES = 192 << 20
+
+
+def _registered_cost(view: "HaystackView") -> int:
+    c = _view_cost(view)
+    if view._bytes is not None:
+        c += len(view._bytes)
+    return c
 
 
 def register_view(view: "HaystackView") -> None:
     """Pre-register a view for identity-based lookup (producer threads build
     views ahead of the search; see stream._PrepProducer)."""
     _VIEW_BY_ID[id(view.haystack)] = view
-    while len(_VIEW_BY_ID) > _VIEW_BY_ID_MAX:
+    while len(_VIEW_BY_ID) > 1 and (
+        len(_VIEW_BY_ID) > _VIEW_BY_ID_MAX
+        or sum(_registered_cost(v) for v in _VIEW_BY_ID.values())
+        > _VIEW_BY_ID_MAX_BYTES
+    ):
         _VIEW_BY_ID.pop(next(iter(_VIEW_BY_ID)))
+
+
+def clear_registered_views() -> None:
+    """Drop all identity-registered views (streaming drivers call this when a
+    stream completes so finished superwindow batches don't stay pinned)."""
+    _VIEW_BY_ID.clear()
 
 
 def view_of(haystack: str, case_insensitive: bool) -> "HaystackView":

@@ -143,6 +143,12 @@ def greedy_nonoverlap(s: np.ndarray, e: np.ndarray, span: int) -> Optional[np.nd
         return None
     s64 = np.ascontiguousarray(s, dtype=np.int64)
     e64 = np.ascontiguousarray(e, dtype=np.int64)
+    if len(s64) and int((e64 - s64).min()) <= 0:
+        # Zero-length intervals: the C occupancy pass keeps them but occupies
+        # nothing, while the bisect fallback inserts the point and rejects a
+        # later interval containing it. Decline so both pipelines run the
+        # same (fallback) semantics — such rows are vanishingly rare.
+        return None
     occ = np.zeros(max(span, 1), dtype=np.uint8)
     keep = np.empty(len(s64), dtype=np.uint8)
     L.greedy_nonoverlap(s64, e64, len(s64), occ, keep)
@@ -185,7 +191,12 @@ def replace_emit_table(data: bytes, cur: int, commit: int, s, e, pat,
     e64 = np.ascontiguousarray(e, dtype=np.int64)
     p32 = np.ascontiguousarray(pat, dtype=np.int32)
     n = len(s64)
-    cap = (commit - min(cur, commit)) + n * rt.max_len + 1
+    # Output may extend past ``commit``: a keep-original match (None table
+    # entry / pattern index >= table length) copies its full span, and
+    # ownership only requires start < commit — the span's END can overhang
+    # the window by arbitrarily many bytes. Size for the furthest span end.
+    hi = max(commit, int(np.max(e64, initial=0)))
+    cap = (hi - min(cur, commit)) + n * rt.max_len + 1
     out = np.empty(cap, dtype=np.uint8)
     state = np.array([cur], dtype=np.int64)
     written = L.replace_emit_table(

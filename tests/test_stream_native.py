@@ -94,3 +94,45 @@ def test_replace_emit_table_matches_python_cursor():
         assert out_c.getvalue() == out_py.getvalue(), (trial, spans, pat)
         assert c_c.emitted == c_py.emitted
         assert c_c.written == c_py.written
+
+
+@pytest.mark.skipif(native.lib() is None, reason="native library unavailable")
+def test_replace_emit_table_overhang_past_commit_capacity():
+    # Regression: a keep-original match (all-None table -> max_len == 0) may
+    # END far past commit (ownership only requires start < commit). The
+    # output then exceeds (commit - cur) + n*max_len + 1 — the old capacity
+    # formula — by up to (end - commit) bytes, overrunning the numpy buffer.
+    table = [None, None]
+    rt = native.ReplacementTable(table)
+    assert rt.max_len == 0
+    data = bytes(range(48, 48 + 64)) * 4  # 256 bytes
+    commit = 100
+    # One match overhanging commit by 120 bytes (>> max_len + 1).
+    sb = np.array([90], dtype=np.int64)
+    eb = np.array([220], dtype=np.int64)
+    pat = np.array([0], dtype=np.int32)
+
+    res = native.replace_emit_table(data, 0, commit, sb, eb, pat, rt)
+    assert res is not None
+    out, new_cur = res
+    assert bytes(out) == data[:220]
+    assert new_cur == 220
+
+    out_py = io.BytesIO()
+    c_py = _ReplaceCursor()
+    c_py.emit_window_table(out_py, table, 0, data, commit, sb, eb, pat)
+    out_c = io.BytesIO()
+    c_c = _ReplaceCursor()
+    c_c.emit_window_table(out_c, table, 0, data, commit, sb, eb, pat, rt=rt)
+    assert out_c.getvalue() == out_py.getvalue() == data[:220]
+    assert c_c.emitted == c_py.emitted == 220
+
+
+def test_greedy_nonoverlap_declines_zero_length_rows():
+    # Zero-length rows diverge between the C occupancy pass and the bisect
+    # fallback; the wrapper must route them to the fallback (return None).
+    if native.lib() is None:
+        pytest.skip("native library unavailable")
+    s = np.array([5, 0], dtype=np.int64)
+    e = np.array([5, 10], dtype=np.int64)
+    assert native.greedy_nonoverlap(s, e, 20) is None
