@@ -61,6 +61,51 @@ void bitap_scan(const uint64_t *mask, int32_t m, int32_t k, const uint8_t *ids,
   }
 }
 
+/* Damerau-aware shift-AND scan: k extra pending-transposition rows make an
+ * adjacent swap cost ONE error instead of two — the host form of the packed
+ * device kernel's recurrence (ops/packed_bitap._kernel_factory: the bcn/sbc
+ * shifted char masks open and complete pending transpositions). Lets the
+ * host prefilter scan swap-permitting budgets with k = edits instead of
+ * k = 2*edits (the reference doubles k because plain bitap has no swap move,
+ * src/prefilter.rs:174-183).
+ *
+ * s, ns: caller-zeroed pending-row scratch of k+1 u64 each (row 0 unused). */
+void bitap_scan_damerau(const uint64_t *mask, int32_t m, int32_t k,
+                        const uint8_t *ids, int64_t n, uint64_t *r,
+                        uint64_t *nr, uint64_t *s, uint64_t *ns,
+                        uint8_t *hit) {
+  const uint64_t match_bit = 1ULL << (m - 1);
+  for (int64_t i = 0; i < n; i++) {
+    const uint64_t bc = mask[ids[i]];
+    const uint64_t bcn = bc >> 1; /* bit j == "p[j+1] == c" */
+    const uint64_t sbc = bc << 1; /* bit j+1 == "p[j] == c" */
+    nr[0] = ((r[0] << 1) | 1ULL) & bc;
+    for (int32_t d = 1; d <= k; d++) {
+      nr[d] = ((r[d] << 1) & bc) | ((r[d - 1] | nr[d - 1]) << 1) | r[d - 1] |
+              1ULL;
+      /* Complete a pending transposition: s[d] holds "read p[j+1] last
+       * step from a d-1 prefix through j-1"; reading p[j] now lands on
+       * bit j+1 at row d (swap = one error). */
+      nr[d] |= (s[d] << 1) & sbc;
+      /* Open new pending transpositions from row d-1 (fresh starts
+       * included: a swap of the first two pattern chars begins from the
+       * empty prefix — the |1 mirrors the starts OR). */
+      ns[d] = ((r[d - 1] << 1) | 1ULL) & bcn;
+    }
+    hit[i] = (nr[k] & match_bit) != 0;
+    for (int32_t d = 0; d <= k; d++) {
+      uint64_t tmp = r[d];
+      r[d] = nr[d];
+      nr[d] = tmp;
+    }
+    for (int32_t d = 1; d <= k; d++) {
+      uint64_t tmp = s[d];
+      s[d] = ns[d];
+      ns[d] = tmp;
+    }
+  }
+}
+
 /* Fused transcode + root-step: byte stream -> depth-1 node id (+1; 0 = dead)
  * via a single 256-entry table, so the device can skip its one-hot matmul
  * when the host has cycles to spare. */

@@ -40,8 +40,16 @@ import numpy as np
 
 from .compact import compact_indices
 
-#: Uniform u64 limb budget per chunk kernel (512 pattern-bits / chunk).
-MANY_LIMBS = 8
+import os as _os_ml
+
+#: Uniform u64 limb budget per chunk kernel. The scan kernel's wall cost is
+#: dominated by per-pass fixed work (flag transpose, prefix-sum compaction,
+#: hit replay), not limb width — measured on v5e: a W=32 traced pass over
+#: 32 Mi symbols runs as fast as W=8 — so wide chunks (fewer passes) are a
+#: direct multiplier on large-dictionary throughput. 32 limbs = 2048
+#: pattern-bits/chunk keeps the traced-table VMEM slice within the scoped
+#: budget at NL=2048 (see packed_bitap._derive_layout_resident).
+MANY_LIMBS = int(_os_ml.environ.get("FAC_MANY_LIMBS", "32"))
 #: Pattern-id field in the packed emission rows is 12 bits.
 MANY_MAX_PATTERNS = 4095
 
@@ -150,9 +158,11 @@ class ManyPackSpec:
         return ManyPackSpec(filt, out_chunks, W, A, F, m_max, len(pats))
 
     def masks_for(self, ks: List[int], k: int):
-        """Per-chunk (starts [2W], match [k+1, 2W], init [k+1, 2W]) u32 at
-        the given per-pattern budgets (reference fresh-start state
-        src/prefilter.rs:414-418); ``k`` is the uniform row count."""
+        """Per-chunk (starts [2W], match [k+1, 2W], init [k+1, 2W], notlast
+        [2W] i32) at the given per-pattern budgets (reference fresh-start
+        state src/prefilter.rs:414-418); ``k`` is the uniform row count.
+        ``notlast`` clears every field's LAST bit — the traced Damerau
+        recurrence's bc_next guard (packed_bitap._kernel_factory)."""
         from .packed_bitap import _last_bit_mask, _starts_mask
 
         out = []
@@ -167,7 +177,11 @@ class ManyPackSpec:
                     word = np.uint64((1 << min(d, m)) - 1) << np.uint64(lo)
                     init[d, 2 * lw] |= np.uint32(word & np.uint64(0xFFFFFFFF))
                     init[d, 2 * lw + 1] |= np.uint32(word >> np.uint64(32))
-            out.append((starts, match, init))
+            notlast = (
+                np.uint32(0xFFFFFFFF)
+                ^ _last_bit_mask(offsets, ms, 1, lambda i: 0, self.W)[0]
+            ).view(np.int32)
+            out.append((starts, match, init, notlast))
         return out
 
 
@@ -234,7 +248,7 @@ def _expand_candidates_traced(
     ),
 )
 def _many_pipeline_jit(
-    ids_pf, ids_pf_w32, word_tbl, pf_starts, pf_match, pf_init,
+    ids_pf, ids_pf_w32, word_tbl, pf_starts, pf_match, pf_init, pf_notlast,
     f_ids, f_col, f_shift, f_depth,
     depth_arr, node_arr, path_cls_flat, path_node_flat,
     out_list, pat_len, pat_weight,
@@ -247,14 +261,16 @@ def _many_pipeline_jit(
 ):
     """One pattern-chunk's full search: scan -> expand -> banded DP -> emit.
     Identical result layout to verify_dp._dp_pipeline_jit (header row +
-    12-byte emission rows); per-chunk tables are traced inputs."""
+    12-byte emission rows); per-chunk tables are traced inputs.
+    ``pf_notlast`` (or None): traced Damerau recurrence — swap = 1 bitap
+    error, so swap-permitting budgets scan with k = edits."""
     from .packed_bitap import packed_hits
     from .verify_dp import _banded_dp, _emit_rows
 
     count_h, pos, words = packed_hits(
         ids_pf, word_tbl, pf_starts, pf_match, pf_init,
         A, W, NL, TB, grid, chunkpf, halo, k, KH,
-        ids_w32=ids_pf_w32, consts=None,
+        ids_w32=ids_pf_w32, consts=None, notlast=pf_notlast,
     )
     cand_count, cand_field, cand_start = _expand_candidates_traced(
         pos, words, start_lo, start_hi, limit, E, CAND,
@@ -312,12 +328,21 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
     pens = engine.penalties
     E = engine.max_edits_fast
 
-    ks = []
-    for bp in spec.filt.patterns:
-        kq = spec.filt.k_for(bp, thr)
-        if kq is None:
-            return None
-        ks.append(kq)
+    # Damerau-aware budgets (swap = 1 bitap error) when they shrink k — the
+    # traced kernel's pending-transposition rows make this sound (same model
+    # as the baked headline lane, ops/verify_dp.fuzzy_search_dp).
+    import os as _os_k
+
+    ks_p = [spec.filt.k_for(bp, thr) for bp in spec.filt.patterns]
+    ks_d = [spec.filt.k_for(bp, thr, damerau=True) for bp in spec.filt.patterns]
+    dam = (
+        _os_k.environ.get("FAC_NO_DAMERAU") != "1"
+        and None not in ks_d
+        and (None in ks_p or max(ks_d) < max(ks_p))
+    )
+    ks = ks_d if dam else ks_p
+    if None in ks:
+        return None
     k = max(ks)
     halo = spec.m_max + k
 
@@ -340,30 +365,25 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
     assert n_pf == n_d == n
     nb = ids_pf.size
     NL, TB, chunkpf, grid = _derive_layout_resident(
-        nb, halo, spec.W, k=k, tables_in_vmem=True
+        nb, halo, spec.W, k=k, tables_in_vmem=True, damerau=dam
     )
 
-    # Per-chunk device tables, shipped once per (engine, threshold).
+    # Per-chunk device tables, shipped once per (engine, threshold). The
+    # scan masks are small i32 arrays read as SMEM scalars by the traced
+    # kernel (no per-lane broadcast, so they are NL-independent).
     def _ship():
         masks = spec.masks_for(ks, k)
         out = []
         for ci, ((_p0, _p1, _offs, _ms, word_tbl, f_ids, f_col, f_shift,
-                  f_depth), (starts, match, init)) in enumerate(
+                  f_depth), (starts, match, init, notlast)) in enumerate(
             zip(spec.chunks, masks)
         ):
             out.append((
                 jax.device_put(word_tbl),
-                jax.device_put(
-                    np.broadcast_to(
-                        starts[..., None], starts.shape + (NL,)
-                    ).copy()
-                ),
-                jax.device_put(
-                    np.broadcast_to(match[..., None], match.shape + (NL,)).copy()
-                ),
-                jax.device_put(
-                    np.broadcast_to(init[..., None], init.shape + (NL,)).copy()
-                ),
+                jax.device_put(np.ascontiguousarray(starts).view(np.int32)),
+                jax.device_put(np.ascontiguousarray(match).view(np.int32)),
+                jax.device_put(np.ascontiguousarray(init).view(np.int32)),
+                jax.device_put(notlast) if dam else None,
                 jax.device_put(f_ids),
                 jax.device_put(f_col),
                 jax.device_put(f_shift),
@@ -371,7 +391,9 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
             ))
         return tuple(out)
 
-    chunk_tabs = _dev_consts(engine, ("many-consts", NL, float(thr)), _ship)
+    chunk_tabs = _dev_consts(
+        engine, ("many-consts", float(thr), dam), _ship
+    )
 
     dtabs = getattr(engine, "_dp_dev_tables", None)
     if dtabs is None:
@@ -411,9 +433,9 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
     _timing = _os.environ.get("FAC_TIME") == "1"
 
     def _launch(ci, KH_, CAND_, KG_):
-        (word_tbl, sb, mb, ib, f_ids, f_col, f_shift, f_depth) = chunk_tabs[ci]
+        (word_tbl, sb, mb, ib, nlb, f_ids, f_col, f_shift, f_depth) = chunk_tabs[ci]
         return _many_pipeline_jit(
-            ids_pf, ids_pf_w32, word_tbl, sb, mb, ib,
+            ids_pf, ids_pf_w32, word_tbl, sb, mb, ib, nlb,
             f_ids, f_col, f_shift, f_depth,
             dep_d, node_d, pcls_d, pnode_d,
             olist_d, plen_d, pw_d,
@@ -517,6 +539,7 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
         "emissions": total,
         "matches": len(results),
         "chunks": len(chunk_tabs),
+        "damerau": dam,
     }
     if _timing:
         import sys as _sys

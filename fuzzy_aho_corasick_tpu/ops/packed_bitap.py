@@ -303,10 +303,11 @@ def _damerau_of(consts, k: int) -> bool:
     return consts is not None and len(consts) == 5 and k >= 1
 
 
-def _scan_rows(consts, k: int) -> int:
+def _scan_rows(consts, k: int, damerau: bool = False) -> int:
     """Persistent scratch rows: k+1 error rows, plus k pending-transposition
-    rows under the Damerau recurrence."""
-    return (k + 1) + (k if _damerau_of(consts, k) else 0)
+    rows under the Damerau recurrence (baked via a 5-tuple ``consts``, or
+    traced via ``damerau=True`` + a notlast input)."""
+    return (k + 1) + (k if (_damerau_of(consts, k) or (damerau and k >= 1)) else 0)
 
 
 def _shl1(lo, hi):
@@ -316,7 +317,7 @@ def _shl1(lo, hi):
 
 def _kernel_factory(
     k: int, W: int, NL: int, TB: int, emit_words: bool, A: int, reset_axis: int = 0,
-    consts=None,
+    consts=None, damerau_traced: bool = False,
 ):
     """``consts`` (optional) bakes the per-engine automaton constants into
     the kernel as immediates: a tuple ``(tbl, starts, match, init)`` of
@@ -327,17 +328,31 @@ def _kernel_factory(
     The caller must make the constants part of its jit static key (the
     engine's packed tables are immutable per engine, so per-engine compile
     specialization is exactly the reference's monomorphization move,
-    src/search.rs:204-393 — applied to data instead of types)."""
+    src/search.rs:204-393 — applied to data instead of types).
 
-    damerau = _damerau_of(consts, k)
-    rrows = _scan_rows(consts, k)
+    ``damerau_traced``: run the Damerau recurrence with a TRACED [2W] i32
+    notlast mask as an extra SMEM input (placed after ``init``) — the
+    traced-table analog of a 5-tuple ``consts`` — so one compiled kernel
+    serves every pattern chunk of the many lane / sharded lane with
+    swap = 1 error."""
+
+    damerau_traced = damerau_traced and k >= 1 and consts is None
+    damerau = _damerau_of(consts, k) or damerau_traced
+    rrows = _scan_rows(consts, k, damerau=damerau_traced)
+    notlast_c = None
     if consts is not None:
-        if damerau or len(consts) == 5:
+        if len(consts) == 5:
             tbl_c, starts_c, match_c, init_c, notlast_c = consts
         else:
             tbl_c, starts_c, match_c, init_c = consts
 
-    def kern(tbl_ref, starts_ref, match_ref, init_ref, lanes_ref, *rest):
+    def kern(tbl_ref, starts_ref, match_ref, init_ref, *rest2):
+        if damerau_traced:
+            notlast_ref = rest2[0]
+            lanes_ref, rest = rest2[1], rest2[2:]
+        else:
+            notlast_ref = None
+            lanes_ref, rest = rest2[0], rest2[1:]
         # rest = flag_ref, [2W words refs], r_ref, ids_ref
         flag_ref = rest[0]
         words_refs = rest[1 : 1 + 2 * W] if emit_words else None
@@ -351,7 +366,13 @@ def _kernel_factory(
                     if consts is not None:
                         r_ref[d, i, :] = jnp.full((NL,), init_c[d][i], jnp.uint32)
                     else:
-                        r_ref[d, i, :] = init_ref[d, i, :]
+                        # Traced tables are SMEM scalars (per u32 column) —
+                        # a [.., NL] VMEM broadcast of them costs an
+                        # NL-proportional slice of scoped VMEM that at wide
+                        # W forces the lane count (and VPU occupancy) down.
+                        r_ref[d, i, :] = jnp.full(
+                            (NL,), init_ref[d, i].astype(jnp.uint32)
+                        )
             # Pending-transposition rows start empty (a swap cannot be
             # half-read before the stream begins; dead pad symbols keep
             # them empty, so zero is the lane-halo fixpoint too).
@@ -364,9 +385,19 @@ def _kernel_factory(
             match = [[jnp.uint32(match_c[d][i]) for i in range(2 * W)] for d in range(k + 1)]
             match_nz = [[match_c[d][i] != 0 for i in range(2 * W)] for d in range(k + 1)]
         else:
-            starts = [starts_ref[i, :] for i in range(2 * W)]
-            match = [[match_ref[d, i, :] for i in range(2 * W)] for d in range(k + 1)]
+            starts = [starts_ref[i].astype(jnp.uint32) for i in range(2 * W)]
+            match = [
+                [match_ref[d, i].astype(jnp.uint32) for i in range(2 * W)]
+                for d in range(k + 1)
+            ]
             match_nz = [[True] * (2 * W) for _ in range(k + 1)]
+        # Hoist the notlast scalar reads out of the position loop (SMEM
+        # scalar reads + lane broadcasts inside the body cost per-position).
+        if damerau:
+            if notlast_c is not None:
+                nl_vals = [jnp.uint32(notlast_c[i]) for i in range(2 * W)]
+            else:
+                nl_vals = [notlast_ref[i].astype(jnp.uint32) for i in range(2 * W)]
 
         # Widen the block's raw u8 ids into a u32 scratch once (static full
         # store — Mosaic can't do dynamic-row i8 vector loads), so the row
@@ -415,8 +446,8 @@ def _kernel_factory(
                     bcn_lo = (
                         (bc[lo_i] >> one)
                         | (bc[hi_i] << jnp.uint32(31))
-                    ) & jnp.uint32(notlast_c[lo_i])
-                    bcn_hi = (bc[hi_i] >> one) & jnp.uint32(notlast_c[hi_i])
+                    ) & nl_vals[lo_i]
+                    bcn_hi = (bc[hi_i] >> one) & nl_vals[hi_i]
                     sbc_lo, sbc_hi = _shl1(bc[lo_i], bc[hi_i])
                 for d in range(1, k + 1):
                     a_lo, a_hi = _shl1(prev[d][lo_i], prev[d][hi_i])
@@ -500,42 +531,93 @@ def _lanes_of(ids_pad, NL, chunk, halo, rows):
 
 
 def _pallas_scan(lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, rows,
-                 consts=None):
+                 consts=None, notlast=None):
     """Flag-only shift-AND scan. Per-hit match *words* are recovered by
     :func:`_replay_words` (its own TB2 budget); this scan deliberately has no
     emit-words mode — the _derive_layout TB budget (12 bytes/row-lane)
     assumes the flag-only block IO, and 2W u32 word outputs would overflow
-    VMEM under it."""
-    kern = _kernel_factory(k, W, NL, TB, False, A, consts=consts)
+    VMEM under it. ``notlast`` (traced [2W] i32, SMEM) switches the traced
+    kernel to the Damerau recurrence."""
+    dam_t = notlast is not None and consts is None and k >= 1
+    kern = _kernel_factory(k, W, NL, TB, False, A, consts=consts,
+                           damerau_traced=dam_t)
     out_shape = [jax.ShapeDtypeStruct((rows, NL), jnp.int32)]
     out_specs = [pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM)]
+    if consts is None:
+        # Traced tables ride SMEM as scalars ([2W] starts, [k+1, 2W]
+        # match/init, i32 bit patterns) — zero VMEM footprint, so wide-W
+        # chunk kernels keep full lane counts.
+        table_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+    else:  # baked: tables are immediates; inputs are placeholders
+        table_specs = [
+            pl.BlockSpec((2 * W, NL), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 2 * W, NL), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 2 * W, NL), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + table_specs
+    if consts is None:
+        unb = lambda a, nd: a[..., 0] if a.ndim == nd else a
+        args = [
+            word_tbl,
+            unb(starts, 2).astype(jnp.int32),
+            unb(match, 3).astype(jnp.int32),
+            unb(init, 3).astype(jnp.int32),
+        ]
+    else:
+        args = [word_tbl, starts, match, init]
+    if dam_t:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # [2W] i32
+        args.append(notlast)
+    in_specs.append(pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM))
+    args.append(lanes)
     outs = pl.pallas_call(
         kern,
         out_shape=out_shape,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # [A, 2W] i32 word table
-            pl.BlockSpec((2 * W, NL), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k + 1, 2 * W, NL), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k + 1, 2 * W, NL), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, NL), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((_scan_rows(consts, k), 2 * W, NL), jnp.uint32),
+            pltpu.VMEM((_scan_rows(consts, k, damerau=dam_t), 2 * W, NL), jnp.uint32),
             pltpu.VMEM((1, TB, NL), jnp.uint32),
         ],
         interpret=_interpret(),
-    )(word_tbl, starts, match, init, lanes)
+    )(*args)
     return outs[0], None
 
 
-#: Hits per replay chunk (lane width of the replay kernel).
+#: Hits per replay chunk (lane width of the replay kernel) at W <= 8.
 REPLAY_NL = 8192
 
 
+def _replay_nl(W: int, k: int, damerau: bool, traced: bool) -> int:
+    """Replay-kernel lane count bounded by scoped VMEM: the kernel emits
+    1 + 2W word blocks of [TB2, NL] u32 (double-buffered) plus (for traced
+    tables) the starts/match/init blocks and the scan scratch — at W=32 the
+    historical 8192 lanes overflow the 16 MB cap by ~4 MB, so the width
+    shrinks with the limb count. Calibrated so every historically-working
+    layout (baked headline, traced W=8 k<=2) keeps its 8192 lanes and its
+    compile-cache entries."""
+    TB2 = 8
+    rows = (k + 1) + (k if damerau else 0)
+    per_lane = (
+        (1 + 2 * W) * TB2 * 4 * 2   # flag + word output blocks, dbl-buffered
+        + TB2 * 2                   # u8 lane input, dbl-buffered
+        + 4 * 2 * W * rows          # persistent scan scratch
+        + TB2 * 4                   # u32 widen scratch
+    )
+    del traced  # traced tables live in SMEM now — no VMEM charge
+    nl = REPLAY_NL
+    while nl > 512 and nl * per_lane > (15 << 20):
+        nl //= 2
+    return nl
+
+
 def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH,
-                  ids_w32=None, consts=None):
+                  ids_w32=None, consts=None, notlast=None):
     """Per-hit match words by REPLAYING the shift-AND NFA over each hit's
     trailing window, instead of writing full-corpus per-position words.
 
@@ -551,7 +633,9 @@ def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
     symbols and produce zero match words). Returns [KH, 2W] u32.
     """
     npad = ids_pad.shape[0]
-    KHp = -(-KH // REPLAY_NL) * REPLAY_NL
+    dam_t = notlast is not None and consts is None and k >= 1
+    rnl = _replay_nl(W, k, dam_t, traced=consts is None)
+    KHp = -(-KH // rnl) * rnl
     # Window rows: win[r, h] = ids[pos[h] - halo + 1 + r]; out-of-range = 0
     # (dead symbol — the fresh-start state's fixpoint). Aligned 32-byte row
     # gathers + VPU selects, as in the DP window fetch.
@@ -602,37 +686,56 @@ def _replay_words(ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH
     lanes = jnp.zeros((L2p, KHp), jnp.uint8)
     lanes = lanes.at[L2p - L2 :, : pos.shape[0]].set(jnp.stack(rows, axis=0))
 
-    nchunks = KHp // REPLAY_NL
-    kern = _kernel_factory(k, W, REPLAY_NL, TB2, True, A, reset_axis=1, consts=consts)
-    bcast = lambda a: jnp.broadcast_to(a[..., None], a.shape + (REPLAY_NL,))
+    nchunks = KHp // rnl
+    kern = _kernel_factory(k, W, rnl, TB2, True, A, reset_axis=1,
+                           consts=consts, damerau_traced=dam_t)
+    bcast = lambda a: jnp.broadcast_to(a[..., None], a.shape + (rnl,))
+    unb = lambda a, nd: a[..., 0] if a.ndim == nd else a  # drop a lane bcast
     out_shape = [jax.ShapeDtypeStruct((L2p, KHp), jnp.int32)] + [
         jax.ShapeDtypeStruct((L2p, KHp), jnp.uint32) for _ in range(2 * W)
     ]
-    io_spec = pl.BlockSpec((TB2, REPLAY_NL), lambda c, r: (r, c), memory_space=pltpu.VMEM)
+    io_spec = pl.BlockSpec((TB2, rnl), lambda c, r: (r, c), memory_space=pltpu.VMEM)
+    if consts is None:
+        table_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        targs = [
+            unb(starts, 2).astype(jnp.int32),
+            unb(match, 3).astype(jnp.int32),
+            unb(init, 3).astype(jnp.int32),
+        ]
+    else:
+        table_specs = [
+            pl.BlockSpec((2 * W, rnl), lambda c, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 2 * W, rnl), lambda c, r: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k + 1, 2 * W, rnl), lambda c, r: (0, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        targs = [
+            bcast(unb(starts, 2)),
+            bcast(unb(match, 3)),
+            bcast(unb(init, 3)),
+        ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + table_specs
+    args = [word_tbl] + targs
+    if dam_t:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(notlast)
+    in_specs.append(io_spec)
+    args.append(lanes)
     outs = pl.pallas_call(
         kern,
         out_shape=out_shape,
         grid=(nchunks, L2p // TB2),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((2 * W, REPLAY_NL), lambda c, r: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k + 1, 2 * W, REPLAY_NL), lambda c, r: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k + 1, 2 * W, REPLAY_NL), lambda c, r: (0, 0, 0), memory_space=pltpu.VMEM),
-            io_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[io_spec] * (1 + 2 * W),
         scratch_shapes=[
-            pltpu.VMEM((_scan_rows(consts, k), 2 * W, REPLAY_NL), jnp.uint32),
-            pltpu.VMEM((1, TB2, REPLAY_NL), jnp.uint32),
+            pltpu.VMEM((_scan_rows(consts, k, damerau=dam_t), 2 * W, rnl), jnp.uint32),
+            pltpu.VMEM((1, TB2, rnl), jnp.uint32),
         ],
         interpret=_interpret(),
-    )(
-        word_tbl,
-        bcast(starts[..., 0] if starts.ndim == 2 else starts),
-        bcast(match[..., 0] if match.ndim == 3 else match),
-        bcast(init[..., 0] if init.ndim == 3 else init),
-        lanes,
-    )
+    )(*args)
     words = outs[1:]
     w = jnp.stack([wi[L2p - 1, :KH] for wi in words], axis=1)  # [KH, 2W]
     return jnp.where(pos[:, None] >= 0, w, 0)
@@ -680,7 +783,7 @@ def _packed_exact_jit(ids_pad, ids_w32, word_tbl, starts, match, init, A, W, NL,
 
 def packed_hits(
     ids_pad, word_tbl, starts, match, init, A, W, NL, TB, grid, chunk, halo, k, KH,
-    ids_w32=None, consts=None,
+    ids_w32=None, consts=None, notlast=None,
 ):
     """Traceable shift-AND pass emitting per-hit (end positions, match words).
 
@@ -693,7 +796,7 @@ def packed_hits(
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
     flag, _ = _pallas_scan(
         lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, rows,
-        consts=consts,
+        consts=consts, notlast=notlast,
     )
     # Transpose to STREAM order before compaction: hit positions come out
     # ascending, which the DP pipeline's run-dedup depends on (consecutive
@@ -703,14 +806,14 @@ def packed_hits(
     pos = idx  # flat index IS the stream position in lane-major order
     w = _replay_words(
         ids_pad, pos, word_tbl, starts, match, init, halo, k, W, A, KH,
-        ids_w32=ids_w32, consts=consts,
+        ids_w32=ids_w32, consts=consts, notlast=notlast,
     )
     return count, pos, w
 
 
 def anchor_covered_flags(
     ids_pad, word_tbl, starts, match, init, n, A, W, NL, TB, grid, chunk, halo, k, span,
-    consts=None,
+    consts=None, notlast=None,
 ):
     """Hit flags in stream order, dilated backwards by the window span:
     int32 [NL * chunk], 1 = position may start a fuzzy match. ``n`` is a
@@ -722,7 +825,7 @@ def anchor_covered_flags(
     lanes = _lanes_of(ids_pad, NL, chunk, halo, rows)
     flag, _ = _pallas_scan(
         lanes, word_tbl, starts, match, init, k, W, A, NL, TB, grid, rows,
-        consts=consts,
+        consts=consts, notlast=notlast,
     )
     flat = flag[halo : halo + chunk].T.reshape(-1)
     return dilate_any(flat, span) & (jnp.arange(flat.shape[0], dtype=jnp.int32) < n)
@@ -784,7 +887,8 @@ def _dev_consts(engine, key: tuple, build) -> tuple:
 
 
 def _derive_layout_resident(nb: int, halo: int, W: int, k: int = 0,
-                            tables_in_vmem: bool = False):
+                            tables_in_vmem: bool = False,
+                            damerau: bool = False):
     """(NL, TB, grid, chunk) with NL * chunk == nb exactly (nb is a
     device-corpus bucket length: 2^k or 3 * 2^(k-1), so any power-of-two
     NL <= nb / 8 divides it).
@@ -795,13 +899,27 @@ def _derive_layout_resident(nb: int, halo: int, W: int, k: int = 0,
     blocks eat an NL-proportional slice of the ~16 MB scoped-vmem budget
     (measured: 448 B/lane at W=8, k=2 = 7.3 MB at NL=16384, a compile-time
     OOM), so NL shrinks and the row-block budget subtracts them.
+
+    ``damerau``: the traced Damerau recurrence carries k extra
+    pending-transposition scratch rows; at wide W the scratch is no longer
+    negligible against the scoped budget (measured: W=32, k=1, NL=4096
+    overflowed the 16 MB cap by 12 KB), so it is charged per lane here.
     """
     nl = NL_MAX
     while nl > 128 and nb // nl < max(halo, 8):
         nl //= 2
-    # starts [2W] + match/init [(k+1), 2W] u32 per lane.
-    tbytes = 8 * W * (1 + 2 * (k + 1)) if tables_in_vmem else 0
-    while nl > 128 and VMEM_BLOCK_BYTES - nl * tbytes < nl * 12 * 8:
+    # Traced-table kernels: the starts/match/init masks live in SMEM as
+    # scalars (zero VMEM), but the persistent scan-state scratch rows
+    # ((k+1) + k pending under Damerau) are [rows, 2W, NL] u32 and at wide W
+    # dominate the scoped budget, so they are charged per lane; a TB floor
+    # of 48 keeps the grid-step count (per-step overhead ~8 us) from
+    # exploding when scratch is large. Baked kernels keep the historical
+    # budget — their layouts are compile-cached and never overflowed.
+    tbytes, min_tb = 0, 8
+    if tables_in_vmem:
+        tbytes = 8 * W * ((k + 1) + (k if damerau else 0))
+        min_tb = 48
+    while nl > 128 and VMEM_BLOCK_BYTES - nl * tbytes < nl * 12 * min_tb:
         nl //= 2
     chunk = nb // nl
     tb = max(8, ((VMEM_BLOCK_BYTES - nl * tbytes) // (nl * 12)) // 8 * 8)

@@ -45,7 +45,12 @@ def _corpus(dictionary, size: int, seed: int = 11) -> str:
     return " ".join(parts)
 
 
-def test_many_lane_matches_oracle():
+def test_many_lane_matches_oracle(monkeypatch):
+    # Pin the narrow limb budget so a 120-pattern dictionary still spans
+    # multiple chunks (the default budget is wide enough to hold it in one).
+    from fuzzy_aho_corasick_tpu.ops import many as many_mod
+
+    monkeypatch.setattr(many_mod, "MANY_LIMBS", 8)
     many = _dictionary(120)
     engine = (
         FuzzyAhoCorasickBuilder.new()
@@ -69,10 +74,56 @@ def test_many_lane_matches_oracle():
     assert len(res) > 50  # the corpus really contains planted needles
 
 
+def test_many_lane_wide_chunks_damerau_parity(monkeypatch):
+    """The default (wide-limb) chunking with the traced Damerau recurrence
+    (swap = 1 bitap error) stays oracle-identical on a swap-heavy corpus."""
+    from fuzzy_aho_corasick_tpu.ops import many as many_mod
+
+    many = _dictionary(90, seed=13)
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(many)
+    )
+    assert packed_fuzzy_of(engine) is None
+    rng = np.random.default_rng(17)
+    parts = []
+    for w in many[:40]:
+        if len(w) > 4:
+            i = int(rng.integers(1, len(w) - 2))
+            parts.append(w[:i] + w[i + 1] + w[i] + w[i + 2:])  # one swap
+        parts.append("filler")
+    hay = " ".join(parts)
+    view = view_of(hay, True)
+    res = fuzzy_search_many(engine, hay, 0.8, view, len(view))
+    assert res is not None
+    assert engine.last_stats.get("damerau") is True
+    orc = oracle.search_raw(engine, hay, 0.8)
+    assert sorted(map(_key, res)) == sorted(map(_key, orc))
+    assert len(res) > 20  # the swapped needles really matched
+
+    # FAC_NO_DAMERAU reverts to the plain (swap-costs-2) budgets with the
+    # same results.
+    monkeypatch.setenv("FAC_NO_DAMERAU", "1")
+    eng2 = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(many)
+    )
+    res2 = fuzzy_search_many(eng2, hay, 0.8, view, len(view))
+    assert res2 is not None and eng2.last_stats.get("damerau") is False
+    assert sorted(map(_key, res2)) == sorted(map(_key, res))
+
+
 @pytest.mark.slow
-def test_many_lane_shared_suffix_fields():
+def test_many_lane_shared_suffix_fields(monkeypatch):
     """Patterns that are suffixes of others share verify fields across
     chunks; duplicate emissions must collapse to the oracle's result."""
+    from fuzzy_aho_corasick_tpu.ops import many as many_mod
+
+    monkeypatch.setattr(many_mod, "MANY_LIMBS", 8)
     many = _dictionary(90, seed=3)
     # plant suffix pairs far apart so they land in different chunks
     many = sorted(set(many) | {w[2:] for w in many[:10] if len(w) > 7})
