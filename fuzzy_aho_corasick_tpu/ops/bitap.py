@@ -28,7 +28,8 @@ _U64_MASK = (1 << 64) - 1
 
 
 def bitap_windows(
-    mask: np.ndarray, m: int, k: int, ids: np.ndarray, out: List[Tuple[int, int]]
+    mask: np.ndarray, m: int, k: int, ids: np.ndarray, out: List[Tuple[int, int]],
+    damerau: bool = False,
 ) -> None:
     """Scalar shift-AND NFA over ``k + 1`` error rows
     (bit-exact port of reference src/prefilter.rs:410-435).
@@ -36,11 +37,19 @@ def bitap_windows(
     For every end position where ``levenshtein(pattern, window) <= k`` for
     some start, pushes the candidate window ``[end - m - k, end]`` (grapheme
     indices) onto ``out``.
+
+    ``damerau=True`` adds k pending-transposition rows so an adjacent swap
+    costs ONE error (the scalar form of the packed device kernel's Damerau
+    recurrence, ops/packed_bitap._kernel_factory): ``s[d]`` holds "read
+    p[j+1] last step from a d-1 prefix through j-1"; reading p[j] now
+    completes the swap onto bit j+1 of row d.
     """
     match_bit = 1 << (m - 1)
     mask_int = [int(x) for x in mask]
     r = [((1 << d) - 1) for d in range(k + 1)]
     nr = [0] * (k + 1)
+    s = [0] * (k + 1)
+    ns = [0] * (k + 1)
     span = m + k
     for i, c in enumerate(ids):
         bc = mask_int[c]
@@ -52,19 +61,25 @@ def bitap_windows(
                 | r[d - 1]
                 | 1
             ) & _U64_MASK
+            if damerau:
+                nr[d] |= (s[d] << 1) & ((bc << 1) & _U64_MASK)
+                ns[d] = ((r[d - 1] << 1) | 1) & (bc >> 1)
         if nr[k] & match_bit:
             end = i + 1
             out.append((max(end - span, 0), end))
         r, nr = nr, r
+        if damerau:
+            s, ns = ns, s
 
 
 def bitap_windows_auto(
-    mask: np.ndarray, m: int, k: int, ids: np.ndarray, out: List[Tuple[int, int]]
+    mask: np.ndarray, m: int, k: int, ids: np.ndarray, out: List[Tuple[int, int]],
+    damerau: bool = False,
 ) -> None:
     """Pick the fastest applicable implementation (same output set)."""
     from ..utils import native
 
-    hits = native.bitap_scan_hits(mask, m, k, ids)
+    hits = native.bitap_scan_hits(mask, m, k, ids, damerau=damerau)
     if hits is not None:
         span = m + k
         for e in np.nonzero(hits)[0]:
@@ -72,9 +87,9 @@ def bitap_windows_auto(
             out.append((max(end - span, 0), end))
         return
     if len(ids) > 8192:
-        bitap_windows_chunked(mask, m, k, ids, out)
+        bitap_windows_chunked(mask, m, k, ids, out, damerau=damerau)
     else:
-        bitap_windows(mask, m, k, ids, out)
+        bitap_windows(mask, m, k, ids, out, damerau=damerau)
 
 
 def bitap_windows_chunked(
@@ -84,6 +99,7 @@ def bitap_windows_chunked(
     ids: np.ndarray,
     out: List[Tuple[int, int]],
     chunk: int = 4096,
+    damerau: bool = False,
 ) -> None:
     """Chunk-parallel shift-AND: identical output to :func:`bitap_windows`.
 
@@ -98,7 +114,7 @@ def bitap_windows_chunked(
     span = m + k
     halo = span  # warm-up length guaranteeing exact state at chunk start
     if n <= chunk + halo:
-        bitap_windows(mask, m, k, ids, out)
+        bitap_windows(mask, m, k, ids, out, damerau=damerau)
         return
 
     num_chunks = -(-n // chunk)
@@ -123,6 +139,7 @@ def bitap_windows_chunked(
     r = np.zeros((k + 1, num_chunks), dtype=np.uint64)
     for d in range(k + 1):
         r[d, :] = U64((1 << d) - 1)
+    s = np.zeros((k + 1, num_chunks), dtype=np.uint64)
 
     hits_chunk: list[np.ndarray] = []
     hits_pos: list[np.ndarray] = []
@@ -132,8 +149,15 @@ def bitap_windows_chunked(
         prev = nr0
         nr = np.empty_like(r)
         nr[0] = nr0
+        if damerau:
+            ns = np.zeros_like(s)
+            sbc = bc << one
+            bcn = bc >> one
         for d in range(1, k + 1):
             cur = ((r[d] << one) & bc) | ((r[d - 1] | prev) << one) | r[d - 1] | one
+            if damerau:
+                cur = cur | ((s[d] << one) & sbc)
+                ns[d] = ((r[d - 1] << one) | one) & bcn
             nr[d] = cur
             prev = cur
         hit = ((nr[k] & match_bit) != 0) & valid[:, t]
@@ -142,6 +166,8 @@ def bitap_windows_chunked(
             hits_chunk.append(idx)
             hits_pos.append(np.full(len(idx), t, dtype=np.int64))
         r = nr
+        if damerau:
+            s = ns
 
     for cs, ts in zip(hits_chunk, hits_pos):
         for ci, t in zip(cs, ts):

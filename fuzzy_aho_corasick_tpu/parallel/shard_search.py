@@ -249,8 +249,21 @@ def make_sharded_fuzzy_step(
     if maps is not None:
         # Edit-count-based scan budget (see ops/verify_dp.MappedSpec).
         ks = [maps.k] * len(pk.filt.patterns)
+        dam = False
     else:
-        ks = [pk.filt.k_for(bp, thr) for bp in pk.filt.patterns]
+        # Damerau-aware budgets (swap = 1 bitap error) when they shrink k —
+        # the traced kernel's pending-transposition rows make this sound
+        # (same selection as ops/verify_dp.fuzzy_search_dp).
+        import os as _os_k
+
+        ks_p = [pk.filt.k_for(bp, thr) for bp in pk.filt.patterns]
+        ks_d = [pk.filt.k_for(bp, thr, damerau=True) for bp in pk.filt.patterns]
+        dam = (
+            _os_k.environ.get("FAC_NO_DAMERAU") != "1"
+            and None not in ks_d
+            and (None in ks_p or max(ks_d) < max(ks_p))
+        )
+        ks = ks_d if dam else ks_p
     match, init, k = pk.fuzzy_masks(ks)
     halo = pk.m_max + k
     Lmax = vf.max_depth
@@ -270,11 +283,14 @@ def make_sharded_fuzzy_step(
     ceil = engine.prune_len_arr - np.float32(engine.prune_len_over_weight_arr * thr)
     max_pen = np.float32(ceil[0])
 
-    # Replicated device constants (the automaton is the "weights").
+    # Replicated device constants (the automaton is the "weights"). The
+    # traced scan kernel reads the masks as SMEM scalars, so they ship as
+    # small i32 arrays (no per-lane broadcast).
     tbl = jnp.asarray(pk.word_tbl)
-    sb = jnp.asarray(np.broadcast_to(pk.starts[..., None], pk.starts.shape + (NL,)).copy())
-    mb = jnp.asarray(np.broadcast_to(match[..., None], match.shape + (NL,)).copy())
-    ib = jnp.asarray(np.broadcast_to(init[..., None], init.shape + (NL,)).copy())
+    sb = jnp.asarray(np.ascontiguousarray(pk.starts).view(np.int32))
+    mb = jnp.asarray(np.ascontiguousarray(match).view(np.int32))
+    ib = jnp.asarray(np.ascontiguousarray(init).view(np.int32))
+    nlb = jnp.asarray(pk.notlast().view(np.int32)) if dam else None
     dep_d = jnp.asarray(vf.depth)
     node_d = jnp.asarray(vf.node)
     pcls_d = jnp.asarray(vf.path_cls.reshape(-1))
@@ -317,6 +333,7 @@ def make_sharded_fuzzy_step(
         count_h, pos, words = packed_hits(
             ids_pf_ext, tbl, sb, mb, ib,
             pk.A, pk.W, NL, TB, grid, chunk, halo, k, KH,
+            notlast=nlb,
         )
         start_lo = jnp.int32(halo)
         start_hi = jnp.minimum(jnp.int32(halo + shard_len), limit_ext)
@@ -436,8 +453,15 @@ def sharded_fuzzy_search(
             if typed is None:
                 return None
     if maps is None:
+        import os as _os_k
+
+        allow_dam = _os_k.environ.get("FAC_NO_DAMERAU") != "1"
         for bp in pk.filt.patterns:
-            if pk.filt.k_for(bp, thr) is None:
+            # Usable under either budget model (the step builder picks the
+            # Damerau one when it is smaller — make_sharded_fuzzy_step).
+            if pk.filt.k_for(bp, thr) is None and not (
+                allow_dam and pk.filt.k_for(bp, thr, damerau=True) is not None
+            ):
                 return None
 
     ceil0 = engine.prune_len_arr[0] - np.float32(

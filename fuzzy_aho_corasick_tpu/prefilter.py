@@ -221,14 +221,28 @@ class BitapFilter:
             dev = engine._device_engine()
             if dev.supports(haystack):
                 return dev.search_raw(haystack, threshold)
+        # Per-pattern budget model: the Damerau-aware recurrence (swap = 1
+        # error — the host form of the packed kernel's pending-transposition
+        # rows, ops/bitap.bitap_windows) whenever it shrinks k; the plain
+        # model otherwise (pending rows cost a little per step and win
+        # nothing when swaps are forbidden). FAC_NO_DAMERAU=1 reverts.
+        import os as _os_k
+
+        allow_dam = _os_k.environ.get("FAC_NO_DAMERAU") != "1"
         ks: List[int] = []
+        dams: List[bool] = []
         for bp in self.patterns:
             k = self.k_for(bp, thr)
+            k_d = self.k_for(bp, thr, damerau=True) if allow_dam else None
+            dam = k_d is not None and (k is None or k_d < k)
+            if dam:
+                k = k_d
             if k is None:
                 from . import oracle
 
                 return engine.search_raw(haystack, threshold)
             ks.append(k)
+            dams.append(dam)
 
         ids, offsets = self.transcode(haystack)
         n = len(ids)
@@ -236,8 +250,8 @@ class BitapFilter:
         from .ops.bitap import bitap_windows_auto
 
         windows: List[Tuple[int, int]] = []
-        for bp, k in zip(self.patterns, ks):
-            bitap_windows_auto(bp.mask, bp.m, k, ids, windows)
+        for bp, k, dam in zip(self.patterns, ks, dams):
+            bitap_windows_auto(bp.mask, bp.m, k, ids, windows, damerau=dam)
         if not windows:
             return []
 

@@ -51,6 +51,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.transcode_u8.argtypes = [p8, i64, p8, p8]
     lib.transcode_i32.argtypes = [p8, i64, p32, p32]
     lib.bitap_scan.argtypes = [p64, i32, i32, p8, i64, p64, p64, p8]
+    if hasattr(lib, "bitap_scan_damerau"):
+        lib.bitap_scan_damerau.argtypes = [
+            p64, i32, i32, p8, i64, p64, p64, p64, p64, p8
+        ]
     if hasattr(lib, "bfs_search"):
         # Raw void pointers on purpose: the BFS lane is a per-call latency
         # path and ndpointer's from_param validation costs ~1 us per array
@@ -118,19 +122,27 @@ def transcode_bytes_i32(data: bytes, table: np.ndarray) -> np.ndarray:
     return out
 
 
-def bitap_scan_hits(mask: np.ndarray, m: int, k: int, ids: np.ndarray) -> Optional[np.ndarray]:
+def bitap_scan_hits(mask: np.ndarray, m: int, k: int, ids: np.ndarray,
+                    damerau: bool = False) -> Optional[np.ndarray]:
     """Native shift-AND scan -> uint8 hit flags per position, or None when the
-    native library is unavailable."""
+    native library is unavailable. ``damerau=True`` runs the recurrence with
+    pending-transposition rows (swap = 1 error)."""
     L = lib()
     if L is None:
+        return None
+    if damerau and not hasattr(L, "bitap_scan_damerau"):
         return None
     ids8 = np.ascontiguousarray(ids, dtype=np.uint8)
     r = np.array([(1 << d) - 1 for d in range(k + 1)], dtype=np.uint64)
     nr = np.zeros(k + 1, dtype=np.uint64)
     hit = np.empty(len(ids8), dtype=np.uint8)
-    L.bitap_scan(
-        np.ascontiguousarray(mask, dtype=np.uint64), m, k, ids8, len(ids8), r, nr, hit
-    )
+    mask_c = np.ascontiguousarray(mask, dtype=np.uint64)
+    if damerau:
+        s = np.zeros(k + 1, dtype=np.uint64)
+        ns = np.zeros(k + 1, dtype=np.uint64)
+        L.bitap_scan_damerau(mask_c, m, k, ids8, len(ids8), r, nr, s, ns, hit)
+    else:
+        L.bitap_scan(mask_c, m, k, ids8, len(ids8), r, nr, hit)
     return hit
 
 

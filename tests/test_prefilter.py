@@ -114,6 +114,85 @@ def test_chunked_bitap_equals_scalar():
         assert sorted(set(a)) == sorted(set(b)), f"trial {trial}: m={m} k={k}"
 
 
+def test_damerau_bitap_impls_agree():
+    """Scalar, chunked, and native-C Damerau recurrences produce the same
+    window set (the host analog of the packed kernel's pending-transposition
+    rows)."""
+    from fuzzy_aho_corasick_tpu.utils import native
+
+    rng = Rng(0xFACADE)
+    for trial in range(40):
+        m = 2 + rng.next() % 19
+        k = rng.next() % 3
+        alphabet = 1 + rng.next() % 6
+        mask = np.zeros(alphabet + 1, dtype=np.uint64)
+        for i in range(m):
+            sym = 1 + rng.next() % alphabet
+            mask[sym] |= np.uint64(1) << np.uint64(i)
+        n = 500 + rng.next() % 2000
+        ids = np.array([rng.next() % (alphabet + 1) for _ in range(n)], dtype=np.uint8)
+
+        a, b = [], []
+        bitap_windows(mask, m, k, ids, a, damerau=True)
+        bitap_windows_chunked(mask, m, k, ids, b, chunk=256, damerau=True)
+        assert sorted(set(a)) == sorted(set(b)), f"trial {trial}: m={m} k={k}"
+        hits = native.bitap_scan_hits(mask, m, k, ids, damerau=True)
+        if hits is not None:
+            span = m + k
+            c = [(max(int(e) + 1 - span, 0), int(e) + 1) for e in np.nonzero(hits)[0]]
+            assert sorted(set(a)) == sorted(set(c)), f"trial {trial} (native)"
+
+
+def _damerau_distance(a: str, b: str) -> int:
+    """Brute-force restricted Damerau-Levenshtein (optimal string alignment)."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def test_damerau_bitap_vs_bruteforce_dp():
+    """Every substring within Damerau distance k of the pattern must produce
+    a scan hit at its end position (soundness: the filter may over-admit,
+    never under-admit) — the host analog of the bitap_prototype fuzz
+    (reference examples/bitap_prototype.rs:97-120)."""
+    rng = Rng(0xB17A9)
+    for trial in range(120):
+        m = 2 + rng.next() % 8
+        k = rng.next() % 3
+        alphabet = 2 + rng.next() % 3
+        pat = "".join(chr(97 + rng.next() % alphabet) for _ in range(m))
+        mask = np.zeros(alphabet + 1, dtype=np.uint64)
+        for i, ch in enumerate(pat):
+            mask[ord(ch) - 96] |= np.uint64(1) << np.uint64(i)
+        n = 60 + rng.next() % 100
+        text = "".join(chr(97 + rng.next() % alphabet) for _ in range(n))
+        ids = np.array([ord(c) - 96 for c in text], dtype=np.uint8)
+
+        out = []
+        bitap_windows(mask, m, k, ids, out, damerau=True)
+        hit_ends = {e for _, e in out}
+        for end in range(1, n + 1):
+            best = min(
+                _damerau_distance(pat, text[s:end])
+                for s in range(max(0, end - m - k), end + 1)
+            )
+            if best <= k:
+                assert end in hit_ends, (
+                    f"trial {trial}: pat={pat} k={k} end={end} "
+                    f"window={text[max(0, end - m - k):end]!r} missed"
+                )
+
+
 def test_prefiltered_routes_to_device_on_large_inputs():
     """The Prefiltered fast lane IS the device pipeline when eligible: the
     packed shift-AND prefilter is fused into the kernels

@@ -74,6 +74,38 @@ def test_sharded_fuzzy_equals_oracle():
     assert engine.last_stats["shards"] == 8
 
 
+def test_sharded_fuzzy_damerau_swaps(monkeypatch):
+    """Swap-heavy corpus on the sharded lane: the Damerau scan budget
+    (swap = 1 bitap error) and the plain doubled-k model must both equal the
+    oracle — and the Damerau budgets must actually be smaller (the lane
+    engages them by default for swap-permitting configs)."""
+    engine = _fuzzy_engine()
+    pk_filt = engine._bitap_filter_cache if hasattr(engine, "_bitap_filter_cache") else None
+    filler = "xyzzy plugh qwertz "
+    # One adjacent transposition per needle ("nedele" has swap of d/l? use
+    # explicit swaps of "needle" -> "needel", "boundary" -> "boundray").
+    hay = ""
+    for i in range(120):
+        hay += filler[: 4 + (i * 13) % 15] + ("needel" if i % 2 else "boundray")
+    engine.backend = "oracle"
+    truth = sorted(key(m) for m in engine.search_raw(hay, 0.72))
+    assert len(truth) > 60
+    got = sharded_fuzzy_search(engine, hay, 0.72, default_mesh())
+    assert sorted(key(m) for m in got) == truth
+
+    from fuzzy_aho_corasick_tpu.ops.packed_bitap import packed_fuzzy_of
+
+    pk = packed_fuzzy_of(engine)
+    kd = max(pk.filt.k_for(bp, np.float32(0.72), damerau=True) for bp in pk.filt.patterns)
+    kp = max(pk.filt.k_for(bp, np.float32(0.72)) for bp in pk.filt.patterns)
+    assert kd < kp, "swap-permitting config should shrink k under Damerau"
+
+    monkeypatch.setenv("FAC_NO_DAMERAU", "1")
+    eng2 = _fuzzy_engine()
+    got2 = sharded_fuzzy_search(eng2, hay, 0.72, default_mesh())
+    assert sorted(key(m) for m in got2) == truth
+
+
 def test_sharded_fuzzy_needle_straddles_every_boundary():
     """A fuzzed needle planted ACROSS each shard boundary must be found by
     exactly one shard (the start < commit ownership rule)."""
