@@ -260,3 +260,133 @@ def search_multihost(
         out.extend(search_host_shard(engine, data, shard, threshold, mesh))
     out.sort(key=lambda m: (m.start, m.end, m.pattern_index))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-host streaming replace (reference src/stream.rs:533-638: parallel
+# search + in-stream-order reassembly, lifted to host granularity)
+# ---------------------------------------------------------------------------
+
+
+def _selected_replace_matches(engine, corpus: bytes, matches):
+    """Global deterministic replacement selection: the ``segmented`` upgrade
+    (Default rank + greedy non-overlap — reference src/query.rs:46-64,
+    src/matches.rs:24-38, 86-112) applied to the gathered match set, then
+    position order. Every host computes the identical list, so boundary
+    decisions need no extra communication round."""
+    from ..matches import FuzzyMatches
+    from ..options import Order, Overlap
+
+    fm = FuzzyMatches(corpus.decode("utf-8"), list(matches))
+    fm.apply(Order.Default, Overlap.NonOverlapping)
+    sel = sorted(fm, key=lambda m: (m.start, m.end, m.pattern_index))
+    return sel
+
+
+def _emit_host_segment(engine, corpus: bytes, sel, own_start: int, own_end: int,
+                       callback) -> bytes:
+    """Bytes host ``h`` contributes to the replaced stream: its owned range
+    with selected matches spliced, honouring the cross-host cursor rule — a
+    match STARTING in an earlier host's range but overrunning into this one
+    was emitted there, so emission here starts at its end (the host-level
+    form of the reference's ReplaceCursor hand-off, src/stream.rs:644-705).
+    Concatenating every host's segment in host order reproduces the
+    single-host replace byte-for-byte."""
+    cur = own_start
+    for m in sel:
+        if m.start < own_start and m.end > own_start:
+            cur = max(cur, m.end)  # previous host emitted this replacement
+    parts = []
+    for m in sel:
+        if not (own_start <= m.start < own_end):
+            continue
+        if m.start < cur:
+            continue  # overlapped by the boundary overrun
+        if cur < m.start:
+            parts.append(corpus[cur : m.start])
+        rep = callback(m)
+        parts.append(corpus[m.start : m.end] if rep is None
+                     else rep.encode("utf-8") if isinstance(rep, str) else rep)
+        cur = m.end
+    if cur < own_end:
+        parts.append(corpus[cur:own_end])
+    return b"".join(parts)
+
+
+def _as_callback(callback):
+    """Accept the FuzzyReplacer-style table (list of replacements indexed by
+    pattern) or a callable, like stream.replace_stream*."""
+    if callable(callback):
+        return callback
+    table = list(callback)
+    return lambda m: (
+        table[m.pattern_index] if m.pattern_index < len(table) else None
+    )
+
+
+def replace_multihost(
+    engine, corpus: bytes, threshold: float, callback,
+    n_hosts: Optional[int] = None, mesh=None, writer=None,
+):
+    """Multi-host find-and-replace over a host-sharded corpus (BASELINE
+    config 5; reference src/stream.rs:533-638's ordered reassembly at host
+    granularity).
+
+    Each host searches ONLY its owned byte range (sharded device search over
+    its local chips, halo'd reads — :func:`search_host_shard`), the match
+    rows all-gather over DCN, every host applies the identical global
+    selection, and host ``h`` emits the replaced bytes of exactly its owned
+    range. Under a multi-process runtime the local segment is returned (and
+    written to ``writer`` when given) — concatenating segments in process
+    order is the full replaced stream, byte-identical to the single-host
+    :func:`fuzzy_aho_corasick_tpu.stream.replace_stream` selection on
+    unambiguous corpora. Single-process, iterates the logical host shards
+    and returns the assembled whole output.
+
+    ``callback``: a ``match -> Optional[str|bytes]`` callable or a
+    pattern-indexed replacement table (the FuzzyReplacer form).
+    """
+    import jax
+
+    cb = _as_callback(callback)
+    overlap = (engine.stream_overlap() + 1) * 4
+    nproc = jax.process_count()
+    if nproc > 1:
+        if mesh is None:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+        plan = HostShardPlan(len(corpus), nproc, overlap)
+        shard = plan.shard(jax.process_index())
+        local: List = []
+        if shard.own_start < shard.own_end:
+            data = corpus[shard.read_start : shard.read_end]
+            local = search_host_shard(engine, data, shard, threshold, mesh)
+        rows = _allgather_rows(_encode_matches(local))
+        sel = _selected_replace_matches(
+            engine, corpus, _decode_matches(engine, corpus, rows)
+        )
+        seg = _emit_host_segment(
+            engine, corpus, sel, shard.own_start, shard.own_end, cb
+        )
+        if writer is not None:
+            writer.write(seg)
+        return seg
+
+    plan = HostShardPlan(len(corpus), n_hosts if n_hosts else 1, overlap)
+    all_matches: List = []
+    for shard in plan.shards():
+        if shard.own_start >= shard.own_end:
+            continue
+        data = corpus[shard.read_start : shard.read_end]
+        all_matches.extend(search_host_shard(engine, data, shard, threshold, mesh))
+    sel = _selected_replace_matches(engine, corpus, all_matches)
+    segs = [
+        _emit_host_segment(engine, corpus, sel, s.own_start, s.own_end, cb)
+        for s in plan.shards()
+        if s.own_start < s.own_end
+    ]
+    out = b"".join(segs)
+    if writer is not None:
+        writer.write(out)
+    return out

@@ -11,6 +11,7 @@ from fuzzy_aho_corasick_tpu.parallel.multihost import (
     HostShardPlan,
     align_utf8,
     initialize,
+    replace_multihost,
     search_multihost,
 )
 from fuzzy_aho_corasick_tpu.parallel.shard_search import default_mesh
@@ -80,6 +81,68 @@ def test_multihost_unicode_boundary_alignment():
     assert len(truth) >= 40
 
 
+def _replace_corpus(n: int = 240) -> bytes:
+    filler = "assorted filler words "
+    hay = ""
+    for i in range(n):
+        hay += filler[: 5 + (i * 7) % 20] + ("nedle" if i % 2 else "boundary")
+    return hay.encode("utf-8")
+
+
+def test_multihost_replace_equals_single_host_stream():
+    """replace_multihost output must be byte-identical to the single-host
+    streaming replace (BASELINE config 5; reference src/stream.rs:533-638's
+    seq-tagged reassembly at host granularity) for 1/2/3 logical hosts."""
+    import io
+
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["needle", "boundary"])
+    )
+    corpus = _replace_corpus()
+    table = ["<N>", "<B>"]
+    cb = lambda m: table[m.pattern_index] if m.pattern_index < len(table) else None
+    w = io.BytesIO()
+    engine.replace_stream(io.BytesIO(corpus), w, 0.72, cb)
+    single = w.getvalue()
+    assert single.count(b"<N>") > 50 and single.count(b"<B>") > 50
+
+    from fuzzy_aho_corasick_tpu.parallel.shard_search import default_mesh
+
+    for n_hosts in (1, 2, 3):
+        got = replace_multihost(engine, corpus, 0.72, table, n_hosts, default_mesh())
+        assert got == single, f"n_hosts={n_hosts}"
+
+
+def test_multihost_replace_boundary_overrun():
+    """A match straddling a host boundary is emitted exactly once (by the
+    owner of its START), and the next host resumes after its end — the
+    cross-host ReplaceCursor hand-off."""
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["boundarymarker"])
+    )
+    # 3 hosts over ~300 bytes -> boundaries at ~100/200; plant the needle
+    # across each.
+    base = bytearray(b"." * 300)
+    for b in (100, 200):
+        w = b"boundarymarker"
+        base[b - len(w) // 2 : b - len(w) // 2 + len(w)] = w
+    corpus = bytes(base)
+    full = engine.replace(
+        corpus.decode(),
+        __import__("fuzzy_aho_corasick_tpu").SearchOptions.new().with_threshold(0.8),
+        lambda m: "<X>",
+    ).encode()
+    got = replace_multihost(engine, corpus, 0.8, lambda m: "<X>", 3)
+    assert got == full
+    assert got.count(b"<X>") == 2
+
+
 # ---------------------------------------------------------------------------
 # Real 2-process distributed run (VERDICT r2 item 5): jax.distributed on CPU
 # ---------------------------------------------------------------------------
@@ -115,6 +178,12 @@ rows = [
     for m in ms
 ]
 print("RESULT " + json.dumps(rows))
+
+# Multi-host streaming replace: this process emits ONLY its owned segment;
+# the test harness concatenates segments in process order.
+import base64
+seg = multihost.replace_multihost(engine, corpus, 0.8, ["<N>", "<P>"])
+print("SEGMENT " + base64.b64encode(seg).decode())
 """
 
 
@@ -146,12 +215,18 @@ def test_two_process_distributed_allgather(tmp_path):
         for pid in range(2)
     ]
     outs = []
+    segs = []
     for p in procs:
         out, err = p.communicate(timeout=240)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
         assert lines, out
         outs.append(json.loads(lines[-1][len("RESULT "):]))
+        import base64
+
+        seg_lines = [l for l in out.splitlines() if l.startswith("SEGMENT ")]
+        assert seg_lines, out
+        segs.append(base64.b64decode(seg_lines[-1][len("SEGMENT "):]))
 
     # Both processes returned the identical gathered list.
     assert outs[0] == outs[1]
@@ -170,3 +245,15 @@ def test_two_process_distributed_allgather(tmp_path):
     )
     got = sorted(tuple(r) for r in outs[0])
     assert got == [tuple(e) for e in expect]
+
+    # The two processes' replace segments concatenate (process order) to the
+    # single-host streaming replace output, byte for byte.
+    import io
+
+    w = io.BytesIO()
+    engine.replace_stream(
+        io.BytesIO(corpus), w, 0.8,
+        lambda m: ["<N>", "<P>"][m.pattern_index] if m.pattern_index < 2 else None,
+    )
+    assert segs[0] + segs[1] == w.getvalue()
+    assert w.getvalue().count(b"<N>") == 40 and w.getvalue().count(b"<P>") == 40
