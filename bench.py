@@ -229,6 +229,158 @@ def run_extras(detail, corpus, fengine, dictionary):
         except Exception as e:  # pragma: no cover - bench resilience
             detail["many1k_error"] = repr(e)
 
+    # Mixed-script Unicode corpus (BASELINE config 3): Cyrillic/Greek filler
+    # with planted one-substitution typos and ss<->ß mapping needles. Rides
+    # the vectorized singleton segmentation path (utils/graphemes) into the
+    # mapped DP lane — the first driver-recorded number for the non-ASCII
+    # transcode story (reference src/grapheme.rs runs all scripts at native
+    # speed).
+    if budget_ok("unicode", 75.0):
+        try:
+            rng = np.random.default_rng(23)
+            filler_u = [
+                "страница", "пример", "текст", "поиск", "система", "данные",
+                "παράδειγμα", "κείμενο", "αναζήτηση", "lorem", "ipsum",
+            ]
+            # BASELINE config 3: ss <-> ß and ae <-> æ mappings. Patterns
+            # stay ASCII (the mapped DP lane's trie model is single-ASCII
+            # edges; the mapping HAYSTACK side is the non-ASCII char), the
+            # corpus is mixed-script — Cyrillic/Greek filler rides the
+            # vectorized singleton segmentation + transcode path.
+            parts = []
+            size = 0
+            while size < (16 << 20):
+                w = filler_u[int(rng.integers(len(filler_u)))]
+                if rng.integers(211) == 0:
+                    w = ["straße", "cæsar", "strase", "caesr"][int(rng.integers(4))]
+                parts.append(w)
+                size += len(w.encode()) + 1
+            ucorpus = " ".join(parts)
+            un = len(ucorpus.encode())
+            ueng = (
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(1))
+                .case_insensitive(True)
+                .mapping("ß", "ss")
+                .mapping("æ", "ae")
+                .build(["strasse", "caesar"])
+            )
+            ueng.backend = "device"
+            ueng.search_raw(ucorpus, 0.8)  # warm
+            ueng.search_raw(ucorpus, 0.8)  # cap ratchet-down may recompile
+            t0 = time.time()
+            ms = ueng.search_raw(ucorpus, 0.8)
+            dt = time.time() - t0
+            detail["unicode_bps"] = round(un / dt)
+            detail["unicode_bytes"] = un
+            detail["unicode_matches"] = len(ms)
+            detail["unicode_backend"] = ueng.last_stats.get("backend")
+            _log(f"unicode: {un / dt / 1e6:.0f} MB/s, {len(ms)} matches "
+                 f"({ueng.last_stats.get('backend')})")
+            del ueng, ms, ucorpus, parts
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["unicode_error"] = repr(e)
+
+    # Adversarial bounded-frontier corpus (BASELINE config 4): near-duplicate
+    # dictionary (shared prefixes, pairwise within 1-2 edits) + densely
+    # planted near-miss needles, auto_beam + min_symbol_similarity. Records
+    # throughput plus the lane's pressure stats (hits/candidates, oracle
+    # rescues when the beam lane serves it) — the worst-case-boundedness
+    # evidence (reference src/search.rs:578-589, 1096-1103).
+    if budget_ok("adversarial", 75.0):
+        try:
+            adv_dict = [
+                "tincidunt", "tincidumt", "tincidenx", "tincidant",
+                "sollicitudin", "sollicitudim", "sollicitudan",
+                "vestibulum", "vestibulom", "vestibulam",
+            ]
+            buf = bytearray(sub[: 12 << 20].encode())
+            # ~6k planted near-misses (each fires several near-duplicate
+            # patterns): dense frontier pressure without the match list
+            # itself becoming the workload.
+            step = max(1, len(buf) // 6000)
+            vars_a = [b" tincidXnt ", b" solliciXudin ", b" vestibXlum ",
+                      b" tincidun ", b" estibulum "]
+            for j in range(6000):
+                w = vars_a[j % len(vars_a)]
+                pos = 50 + j * step
+                if pos + len(w) >= len(buf):
+                    break
+                buf[pos : pos + len(w)] = w[: len(w)]
+            acorpus = buf.decode()
+            an = len(acorpus.encode())
+            aeng = (
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(1))
+                .case_insensitive(True)
+                .min_symbol_similarity(0.4)
+                .auto_beam(100_000, 64)
+                .build(adv_dict)
+            )
+            aeng.backend = "device"
+            aeng.search_raw(acorpus, 0.6)  # warm
+            aeng.search_raw(acorpus, 0.6)  # cap ratchet-down may recompile
+            t0 = time.time()
+            ms = aeng.search_raw(acorpus, 0.6)
+            dt = time.time() - t0
+            st = dict(aeng.last_stats)
+            detail["adversarial_bps"] = round(an / dt)
+            detail["adversarial_matches"] = len(ms)
+            detail["adversarial_backend"] = st.get("backend")
+            for k in ("hits", "candidates", "anchors", "overflow_rescues",
+                      "emissions"):
+                if k in st:
+                    detail[f"adversarial_{k}"] = st[k]
+            _log(f"adversarial: {an / dt / 1e6:.0f} MB/s, {len(ms)} matches "
+                 f"({st.get('backend')}, rescues={st.get('overflow_rescues', 0)})")
+            del aeng, ms, acorpus, buf
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["adversarial_error"] = repr(e)
+
+    # DEFAULT (swap-permitting) fuzzy E=2 — the config the swaps(0) entries
+    # below deliberately avoid. The Damerau-aware scan prices a swap at one
+    # bitap error, so k = 2 instead of 4 and the packed prefilter stays
+    # selective on natural text (VERDICT r4 weak item 3: prove the default
+    # config scans, or bound it).
+    if budget_ok("fuzzy2_default", 90.0):
+        try:
+            eng = (
+                FuzzyAhoCorasickBuilder.new()
+                .fuzzy(FuzzyLimits.new().edits(2))
+                .case_insensitive(True)
+                .build(dictionary)
+            )
+            eng.backend = "device"
+            thr = 0.62
+            from fuzzy_aho_corasick_tpu.ops.verify_dp import (
+                fuzzy_search_dp, typed_spec_of,
+            )
+            from fuzzy_aho_corasick_tpu.utils.graphemes import HaystackView
+
+            probe_text = sub[: 1 << 20]
+            pv = HaystackView(probe_text, True)
+            probe = fuzzy_search_dp(
+                eng, probe_text, thr, pv, len(pv), typed=typed_spec_of(eng)
+            )
+            if probe is None:
+                detail["fuzzy2_default_bps"] = 0
+                detail["fuzzy2_default_note"] = "dp lane declined (unselective)"
+            else:
+                eng.search_raw(sub, thr)  # warm
+                eng.search_raw(sub, thr)  # cap ratchet-down may recompile
+                t0 = time.time()
+                ms = eng.search_raw(sub, thr)
+                dt = time.time() - t0
+                detail["fuzzy2_default_bps"] = round(sn / dt)
+                detail["fuzzy2_default_matches"] = len(ms)
+                detail["fuzzy2_default_backend"] = eng.last_stats.get("backend")
+                _log(f"fuzzy2_default: {sn / dt / 1e6:.0f} MB/s, "
+                     f"{len(ms)} matches")
+                del ms
+            del eng, probe, pv
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["fuzzy2_default_error"] = repr(e)
+
     # Parallel streaming replace throughput (reference replace_bench.rs):
     # the FuzzyReplacer form — a pattern-indexed replacement table — which
     # rides the vectorized no-objects emit lane. Streams the full corpus so
@@ -258,6 +410,24 @@ def run_extras(detail, corpus, fengine, dictionary):
                 best = min(best, time.time() - t0)
             detail["replace_stream_parallel_bps"] = round(n_src / best)
             _log(f"replace_stream_parallel: {n_src / best / 1e6:.0f} MB/s")
+            # Stage breakdown into the bench record (VERDICT r4 item 7): one
+            # FAC_TIME pass records where the calling thread's time goes —
+            # wait (blocked on the search worker: device dispatch + prep),
+            # post (SoA ranking/non-overlap), emit (byte assembly + write).
+            try:
+                os.environ["FAC_TIME"] = "1"
+                fengine.replace_stream_parallel(
+                    io.BytesIO(src), io.BytesIO(), 64, 0.8, table
+                )
+                st = dict(getattr(fengine, "last_stats", {}) or {})
+                if st.get("backend") == "replace-stream-parallel":
+                    detail["replace_stage_breakdown"] = {
+                        k: st[k] for k in ("wait_ms", "post_ms", "emit_ms")
+                        if k in st
+                    }
+                    _log(f"replace stages: {detail['replace_stage_breakdown']}")
+            finally:
+                os.environ.pop("FAC_TIME", None)
         except Exception as e:  # pragma: no cover - bench resilience
             detail["replace_stream_parallel_error"] = repr(e)
 

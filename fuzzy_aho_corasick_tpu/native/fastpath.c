@@ -161,8 +161,11 @@ typedef struct {
   uint32_t epoch[BFS_HCAP];
 } BfsVisited;
 
-static BfsVisited bfs_vis; /* per-process scratch; wrapper serializes calls */
-static uint32_t bfs_epoch = 0;
+/* Thread-local scratch: concurrent searches scale per-thread like the
+ * reference's freely shared &FuzzyAhoCorasick (the ctypes call releases the
+ * GIL, so two host threads overlap their C work). */
+static __thread BfsVisited bfs_vis;
+static __thread uint32_t bfs_epoch = 0;
 
 /* emission best-per-(start, end, pattern) map (reference
  * src/search.rs:694-737): strictly-greater similarity replaces, first
@@ -176,8 +179,8 @@ typedef struct {
   uint32_t epoch[BFS_EMAP_CAP];
 } BfsEmap;
 
-static BfsEmap bfs_emap;
-static uint32_t bfs_emap_epoch = 0;
+static __thread BfsEmap bfs_emap;
+static __thread uint32_t bfs_emap_epoch = 0;
 
 static int bfs_row_cmp(const void *a, const void *b) {
   const int32_t *ra = (const int32_t *)a, *rb = (const int32_t *)b;
@@ -188,7 +191,7 @@ static int bfs_row_cmp(const void *a, const void *b) {
   return 0;
 }
 
-int64_t bfs_search(
+static int64_t bfs_core(
     /* automaton (dense class space) */
     const int32_t *goto_tab,     /* [n_nodes, C] exact transition, -1 = none */
     const int32_t *edge_target,  /* [n_nodes, max_deg], -1 padded */
@@ -220,7 +223,7 @@ int64_t bfs_search(
   int64_t n_out = 0;
   BfsState queue[BFS_QCAP];
 
-  static uint8_t ids_static[1 << 16];
+  static __thread uint8_t ids_static[1 << 16];
   uint8_t *ids = ids_static;
   uint8_t *ids_heap = 0;
   if (text_len > (int64_t)sizeof(ids_static)) {
@@ -454,6 +457,97 @@ int64_t bfs_search(
   BFS_RET(n_out);
 }
 #undef BFS_RET
+
+/* Persistent per-(engine, threshold) configuration handle: the per-call
+ * ctypes marshal of ~30 arguments costs more than the BFS itself on
+ * microsecond-class searches, so the constants bind once and the hot call
+ * passes 5 arguments (reference analog: the monomorphized engine object,
+ * src/search.rs:204-393). */
+typedef struct {
+  const int32_t *goto_tab, *edge_target, *edge_class;
+  int32_t max_deg;
+  const int32_t *out_count, *out_list;
+  int32_t max_out;
+  const int8_t *sb_edge;
+  const float *sim;
+  int32_t C;
+  const float *node_ceil, *pat_len, *pat_weight;
+  int32_t mef;
+  float thr, max_pen, p_sub, p_ins, p_del, p_swap, min_sym;
+  int32_t use_ws;
+  const uint64_t *skip_first, *skip_second;
+  const uint8_t *cls_table;
+} BfsEngineCfg;
+
+void *bfs_engine_new(
+    const int32_t *goto_tab, const int32_t *edge_target,
+    const int32_t *edge_class, int32_t max_deg, const int32_t *out_count,
+    const int32_t *out_list, int32_t max_out, const int8_t *sb_edge,
+    const float *sim, int32_t C, const float *node_ceil, const float *pat_len,
+    const float *pat_weight, int32_t mef, float thr, float max_pen,
+    float p_sub, float p_ins, float p_del, float p_swap, float min_sym_sim,
+    int32_t use_window_skip, const uint64_t *skip_first,
+    const uint64_t *skip_second, const uint8_t *cls_table) {
+  BfsEngineCfg *e = (BfsEngineCfg *)malloc(sizeof(BfsEngineCfg));
+  if (!e) return 0;
+  e->goto_tab = goto_tab;
+  e->edge_target = edge_target;
+  e->edge_class = edge_class;
+  e->max_deg = max_deg;
+  e->out_count = out_count;
+  e->out_list = out_list;
+  e->max_out = max_out;
+  e->sb_edge = sb_edge;
+  e->sim = sim;
+  e->C = C;
+  e->node_ceil = node_ceil;
+  e->pat_len = pat_len;
+  e->pat_weight = pat_weight;
+  e->mef = mef;
+  e->thr = thr;
+  e->max_pen = max_pen;
+  e->p_sub = p_sub;
+  e->p_ins = p_ins;
+  e->p_del = p_del;
+  e->p_swap = p_swap;
+  e->min_sym = min_sym_sim;
+  e->use_ws = use_window_skip;
+  e->skip_first = skip_first;
+  e->skip_second = skip_second;
+  e->cls_table = cls_table;
+  return e;
+}
+
+void bfs_engine_free(void *p) { free(p); }
+
+int64_t bfs_search_h(const void *hp, const uint8_t *hay, int64_t text_len,
+                     int32_t *out_rows, int64_t out_cap) {
+  const BfsEngineCfg *e = (const BfsEngineCfg *)hp;
+  return bfs_core(e->goto_tab, e->edge_target, e->edge_class, e->max_deg,
+                  e->out_count, e->out_list, e->max_out, e->sb_edge, e->sim,
+                  e->C, e->node_ceil, e->pat_len, e->pat_weight, e->mef,
+                  e->thr, e->max_pen, e->p_sub, e->p_ins, e->p_del, e->p_swap,
+                  e->min_sym, e->use_ws, e->skip_first, e->skip_second, hay,
+                  e->cls_table, text_len, out_rows, out_cap);
+}
+
+/* Legacy full-argument form (kept for differential tooling). */
+int64_t bfs_search(
+    const int32_t *goto_tab, const int32_t *edge_target,
+    const int32_t *edge_class, int32_t max_deg, const int32_t *out_count,
+    const int32_t *out_list, int32_t max_out, const int8_t *sb_edge,
+    const float *sim, int32_t C, const float *node_ceil, const float *pat_len,
+    const float *pat_weight, int32_t mef, float thr, float max_pen,
+    float p_sub, float p_ins, float p_del, float p_swap, float min_sym_sim,
+    int32_t use_window_skip, const uint64_t *skip_first,
+    const uint64_t *skip_second, const uint8_t *hay, const uint8_t *cls_table,
+    int64_t text_len, int32_t *out_rows, int64_t out_cap) {
+  return bfs_core(goto_tab, edge_target, edge_class, max_deg, out_count,
+                  out_list, max_out, sb_edge, sim, C, node_ceil, pat_len,
+                  pat_weight, mef, thr, max_pen, p_sub, p_ins, p_del, p_swap,
+                  min_sym_sim, use_window_skip, skip_first, skip_second, hay,
+                  cls_table, text_len, out_rows, out_cap);
+}
 
 /* ---------------------------------------------------------------------------
  * Streaming-replace host helpers (reference src/stream.rs:533-638 worker

@@ -25,7 +25,18 @@ from typing import List, Optional
 
 import numpy as np
 
-_CALL_LOCK = threading.Lock()  # the C visited scratch is process-global
+#: Per-thread emission-row buffers (the C scratch is __thread storage, so
+#: concurrent callers scale per-thread like the reference's freely shared
+#: &FuzzyAhoCorasick — no process-global call lock).
+_TLS = threading.local()
+
+
+def _tls_rows(min_cap: int) -> np.ndarray:
+    rows = getattr(_TLS, "rows", None)
+    if rows is None or rows.shape[0] < min_cap:
+        rows = np.empty((max(min_cap, 1 << 12), 5), dtype=np.int32)
+        _TLS.rows = rows
+    return rows
 
 
 def _tables_of(engine):
@@ -38,7 +49,7 @@ def _tables_of(engine):
 
     ok = (
         native.lib() is not None
-        and hasattr(native.lib(), "bfs_search")
+        and hasattr(native.lib(), "bfs_search_h")
         and not engine.mappings
         and not engine.has_pattern_limits
         and engine.beam_width is None
@@ -120,13 +131,32 @@ def _tables_of(engine):
             float(engine.penalties.swap),
         ),
         "min_sym": float(engine.min_symbol_similarity),
-        "ceil_cache": {},      # float(thr) -> (ceil_f32, max_pen, data_ptr)
-        "rows": np.empty((1 << 12, 5), dtype=np.int32),
+        # float(thr) -> (ceil_f32, max_pen, data_ptr, thr_f32)
+        "ceil_cache": {},
         "pat_len": np.ascontiguousarray(dense.pat_len, dtype=np.float32),
         "pat_weight": np.ascontiguousarray(dense.pat_weight, dtype=np.float32),
     }
     tabs["pl_ptr"] = tabs["pat_len"].ctypes.data
     tabs["pw_ptr"] = tabs["pat_weight"].ctypes.data
+
+    # Free the per-threshold C config handles when the engine goes away.
+    import weakref
+
+    cache = tabs["ceil_cache"]
+
+    def _free(cache=cache):
+        L = native.lib()
+        if L is None:
+            return
+        try:
+            for entry in cache.values():
+                if len(entry) >= 3 and entry[2]:
+                    L.bfs_engine_free(entry[2])
+        except Exception:
+            pass
+        cache.clear()
+
+    weakref.finalize(engine, _free)
     engine._native_bfs_tables = tabs
     return tabs
 
@@ -147,6 +177,7 @@ def search_raw(engine, haystack: str, threshold: float) -> Optional[List]:
 
     from ..utils import native
 
+    L = native.lib()
     tkey = float(threshold)
     hit = tabs["ceil_cache"].get(tkey)
     if hit is None:
@@ -156,36 +187,41 @@ def search_raw(engine, haystack: str, threshold: float) -> Optional[List]:
             - np.float32(engine.prune_len_over_weight_arr * thr),
             dtype=np.float32,
         )
-        hit = (ceil, float(ceil[0]), ceil.ctypes.data)
+        # Persistent C-side config handle: the per-call marshal of ~30
+        # ctypes arguments costs more than the BFS itself on
+        # microsecond-class searches. One handle per (engine, threshold),
+        # freed with the engine's table dict (finalizer below).
+        (p_goto, p_et, p_ec, p_oc, p_ol, p_sb, p_sim, p_sk1, p_sk2,
+         p_cls) = tabs["ptrs"]
+        ps, pi, pd, pw = tabs["pens"]
+        handle = L.bfs_engine_new(
+            p_goto, p_et, p_ec, tabs["max_deg"],
+            p_oc, p_ol, tabs["max_out"],
+            p_sb, p_sim, tabs["C"],
+            ceil.ctypes.data, tabs["pl_ptr"], tabs["pw_ptr"],
+            tabs["mef"], float(thr),
+            float(ceil[0]), ps, pi, pd, pw, tabs["min_sym"],
+            tabs["use_ws"], p_sk1, p_sk2,
+            p_cls,
+        )
+        if not handle:
+            return None
+        hit = (ceil, float(ceil[0]), handle)
         tabs["ceil_cache"][tkey] = hit
-    _ceil, max_pen, ceil_ptr = hit
+    _ceil, max_pen, handle = hit
     if 0.0 > max_pen:
         return []
 
     hay = haystack.encode("ascii")
-    (p_goto, p_et, p_ec, p_oc, p_ol, p_sb, p_sim, p_sk1, p_sk2,
-     p_cls) = tabs["ptrs"]
-    ps, pi, pd, pw = tabs["pens"]
-    L = native.lib()
-    with _CALL_LOCK:
-        while True:
-            rows = tabs["rows"]
-            cap = rows.shape[0]
-            cnt = L.bfs_search(
-                p_goto, p_et, p_ec, tabs["max_deg"],
-                p_oc, p_ol, tabs["max_out"],
-                p_sb, p_sim, tabs["C"],
-                ceil_ptr, tabs["pl_ptr"], tabs["pw_ptr"],
-                tabs["mef"], float(np.float32(threshold)),
-                max_pen, ps, pi, pd, pw, tabs["min_sym"],
-                tabs["use_ws"], p_sk1, p_sk2,
-                hay, p_cls, n,
-                rows.ctypes.data, cap,
-            )
-            if cnt == -2 and cap < (1 << 24):
-                tabs["rows"] = np.empty((cap * 8, 5), dtype=np.int32)
-                continue
-            break
+    search_h = L.bfs_search_h
+    rows = _tls_rows(1)
+    while True:
+        cap = rows.shape[0]
+        cnt = search_h(handle, hay, n, rows.ctypes.data, cap)
+        if cnt == -2 and cap < (1 << 24):
+            rows = _tls_rows(cap * 8)
+            continue
+        break
     if cnt < 0:
         return None  # queue overflow: pathological window, oracle handles it
 

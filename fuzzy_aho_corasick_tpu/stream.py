@@ -933,6 +933,17 @@ def replace_stream_parallel(engine, reader, writer, shards: int, threshold: floa
             f"post={_post_s * 1e3:.1f}ms emit={_emit_s * 1e3:.1f}ms",
             file=_sys.stderr,
         )
+        # Stage budget for the bench record (VERDICT r4 item 7): wait = the
+        # calling thread blocked on the search worker (device dispatch +
+        # producer prep riding ahead), post/emit = host-side SoA ranking and
+        # byte assembly on the calling thread.
+        engine.last_stats = {
+            "backend": "replace-stream-parallel",
+            "wait_ms": round(_wait_s * 1e3, 1),
+            "post_ms": round(_post_s * 1e3, 1),
+            "emit_ms": round(_emit_s * 1e3, 1),
+            "written": cursor.written,
+        }
     # Drop the producer's identity-registered superwindow views — each pins
     # a ~48 MiB batch str (+ seeded bytes) that is dead once the stream ends.
     from .utils.graphemes import clear_registered_views

@@ -73,6 +73,23 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             vp, i64,                       # out_rows, out_cap
         ]
         lib.bfs_search.restype = i64
+    if hasattr(lib, "bfs_engine_new"):
+        vp = ctypes.c_void_p
+        # Same layout as bfs_search minus the per-call (hay, len, rows, cap).
+        lib.bfs_engine_new.argtypes = [
+            vp, vp, vp, i32,               # goto, edge_target, edge_class, deg
+            vp, vp, i32,                   # out_count, out_list, max_out
+            vp, vp, i32,                   # sb_edge, sim, C
+            vp, vp, vp,                    # node_ceil, pat_len, pat_weight
+            i32, f32c,                     # mef, threshold
+            f32c, f32c, f32c, f32c, f32c, f32c,
+            i32, vp, vp,                   # window-skip flag + masks
+            vp,                            # byte->class table
+        ]
+        lib.bfs_engine_new.restype = vp
+        lib.bfs_engine_free.argtypes = [vp]
+        lib.bfs_search_h.argtypes = [vp, ctypes.c_char_p, i64, vp, i64]
+        lib.bfs_search_h.restype = i64
     pi64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     if hasattr(lib, "greedy_nonoverlap"):
         lib.greedy_nonoverlap.argtypes = [pi64, pi64, i64, p8, p8]

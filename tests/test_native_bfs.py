@@ -168,3 +168,87 @@ def test_routing_uses_native_lane():
     eng.backend = "oracle"
     eng.search_raw("a hello b", 0.7)
     assert eng.last_stats["backend"] == "oracle"
+
+
+def test_concurrent_callers_are_correct():
+    """Two threads hammering the same engine (and a second engine) must all
+    get the single-threaded results — the C scratch is thread-local and the
+    row buffers are per-thread, so no call serialization exists."""
+    import threading
+
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["hello", "world", "help"])
+    )
+    hays = [
+        "why hello there, wrold of helpful words",
+        "helo wordl helq nothing",
+        "xx hello world help yy" * 3,
+    ]
+    expect = [[_key(m) for m in native_bfs.search_raw(eng, h, 0.7)] for h in hays]
+    errs = []
+
+    def worker(tid):
+        try:
+            for i in range(200):
+                h = hays[(i + tid) % len(hays)]
+                got = [_key(m) for m in native_bfs.search_raw(eng, h, 0.7)]
+                assert got == expect[(i + tid) % len(hays)]
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+
+
+@pytest.mark.slow
+def test_threaded_throughput_scales():
+    """Two threads should complete ~2x the calls of one thread in the same
+    wall time (the ctypes call releases the GIL; scratch is __thread) —
+    lenient floor for CI noise (reference: &FuzzyAhoCorasick shared freely
+    across a thread pool, benches/benchmark.rs:11-21)."""
+    import threading
+    import time
+
+    eng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["hello", "world", "help"])
+    )
+    # Long enough that the GIL-released C scan dominates the per-call
+    # Python overhead (scaling is a property of the C portion).
+    hay = "why hello there, wrold of helpful words " * 200
+    native_bfs.search_raw(eng, hay, 0.7)  # warm tables
+
+    def run_calls(n):
+        for _ in range(n):
+            native_bfs.search_raw(eng, hay, 0.7)
+
+    # Calibrate ~0.3 s of single-thread work.
+    t0 = time.perf_counter()
+    run_calls(500)
+    per = (time.perf_counter() - t0) / 500
+    n = max(200, int(0.3 / per))
+
+    t0 = time.perf_counter()
+    run_calls(n)
+    t_serial = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ts = [threading.Thread(target=run_calls, args=(n,)) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    t_pair = time.perf_counter() - t0
+
+    # 2 threads did 2n calls; speedup = 2 * t_serial / t_pair.
+    speedup = 2 * t_serial / t_pair
+    assert speedup > 1.25, f"threaded speedup {speedup:.2f}x (serial {t_serial:.3f}s pair {t_pair:.3f}s)"

@@ -81,9 +81,53 @@ def test_device_throughput_floor():
     fuzzy.backend = "device"
     fuzzy_bps = _best_bps(fuzzy, hay, 0.8)
 
-    # Floors are ~2x under current measured numbers (exact ~1.6-2.1 GB/s,
-    # fuzzy-E1 ~0.9-1.1 GB/s at 96 MiB; 24 MiB pays relatively more fixed
-    # dispatch latency) so link variance doesn't flake the test, while real
-    # kernel/pipeline regressions still trip it.
-    assert exact_bps >= 1.0e9, f"exact scan regressed: {exact_bps/1e6:.0f} MB/s"
-    assert fuzzy_bps >= 0.5e9, f"fuzzy-E1 scan regressed: {fuzzy_bps/1e6:.0f} MB/s"
+    # Floors at ~70% of the round-5 measured numbers (exact ~1.9-2.2 GB/s,
+    # fuzzy-E1 ~1.1-1.4 GB/s; 24 MiB pays relatively more fixed dispatch
+    # latency than the 96 MiB bench corpus) — sub-2x regressions fail loudly
+    # (VERDICT r4 item 9) while best-of-3 absorbs link variance.
+    assert exact_bps >= 1.4e9, f"exact scan regressed: {exact_bps/1e6:.0f} MB/s"
+    assert fuzzy_bps >= 0.8e9, f"fuzzy-E1 scan regressed: {fuzzy_bps/1e6:.0f} MB/s"
+
+
+def test_device_throughput_floor_more_lanes():
+    """Floors for the lanes with driver history since r04: beams (ride the
+    exact DP lanes), the mapped DP lane, and the 1k-pattern chunked lane."""
+    hay = _corpus(24 << 20)
+
+    beamed = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .beam_width(500)
+        .build(DICT)
+    )
+    beamed.backend = "device"
+    beam_bps = _best_bps(beamed, hay, 0.8)
+    assert beam_bps >= 0.55e9, f"beam500 regressed: {beam_bps/1e6:.0f} MB/s"
+
+    mapped = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .mapping("rn", "m")
+        .build(DICT + ["modern"])
+    )
+    mapped.backend = "device"
+    mapped_bps = _best_bps(mapped, hay, 0.8)
+    assert mapped_bps >= 0.28e9, f"mapped lane regressed: {mapped_bps/1e6:.0f} MB/s"
+
+    rng = np.random.default_rng(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    many = sorted({
+        "".join(alphabet[i] for i in rng.integers(0, 26, size=int(m)))
+        for m in rng.integers(6, 12, size=1000)
+    })
+    meng = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(many)
+    )
+    meng.backend = "device"
+    many_bps = _best_bps(meng, hay, 0.82)
+    assert many_bps >= 45e6, f"many1k lane regressed: {many_bps/1e6:.0f} MB/s"
