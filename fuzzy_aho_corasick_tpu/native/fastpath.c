@@ -582,6 +582,57 @@ void greedy_nonoverlap(const int64_t *s, const int64_t *e, int64_t n,
   }
 }
 
+/* Whole-BATCH table-replacement emit: one C pass over every window of a
+ * superwindow batch (the per-window form below costs ~0.7 ms of Python
+ * wrapper work per 256 KiB window — buffer alloc, marshal, slice, write —
+ * which at ~190 windows/batch dominated the replace pipeline's emit stage).
+ * Window w's bytes live at data + doff[w] (the superwindow join inserts
+ * separators, so windows are NOT contiguous); match rows are (s, e) in
+ * window-local coords, ascending per window, wid non-decreasing. state[0]
+ * carries the absolute emitted cursor across windows AND batches (a match
+ * may overhang its window's commit; the next window resumes after it).
+ * Returns bytes written to out. */
+int64_t replace_emit_batch(
+    const uint8_t *data, const int64_t *doff, const int64_t *base,
+    const int64_t *commit, int32_t nwin, const int64_t *s, const int64_t *e,
+    const int32_t *pat, const int32_t *wid, int64_t n, const uint8_t *tbl,
+    const int64_t *tbl_off, int32_t ntbl, const uint8_t *keep_orig,
+    int64_t *state, uint8_t *out) {
+  int64_t o = 0;
+  int64_t r = 0;
+  for (int32_t w = 0; w < nwin; w++) {
+    const uint8_t *d = data + doff[w];
+    int64_t cur = state[0] - base[w]; /* may be < 0 after a short window */
+    if (cur < 0) cur = 0;
+    const int64_t cm = commit[w];
+    for (; r < n && wid[r] == w; r++) {
+      const int64_t a = s[r], b = e[r];
+      if (a < cur) continue; /* earlier match extended past commit */
+      if (cur < a) {
+        memcpy(out + o, d + cur, a - cur);
+        o += a - cur;
+      }
+      const int32_t p = pat[r];
+      if (p < ntbl && !keep_orig[p]) {
+        const int64_t rl = tbl_off[p + 1] - tbl_off[p];
+        memcpy(out + o, tbl + tbl_off[p], rl);
+        o += rl;
+      } else {
+        memcpy(out + o, d + a, b - a);
+        o += b - a;
+      }
+      cur = b;
+    }
+    if (cur < cm) {
+      memcpy(out + o, d + cur, cm - cur);
+      o += cm - cur;
+      cur = cm;
+    }
+    state[0] = base[w] + cur;
+  }
+  return o;
+}
+
 /* Table-replacement emit for one window: copy [cur, commit) of data into out,
  * swapping each match span [s_i, e_i) for its pattern's replacement bytes
  * (tbl + tbl_off, keep_orig[p] = 1 -> keep the original span). Matches must

@@ -515,16 +515,22 @@ class _PrepProducer:
         # One decode for the whole batch (windows are valid UTF-8 by
         # WindowReader construction; separators are ASCII control chars).
         st = sb.decode("utf-8")
-        # Build the haystack view HERE: view_of's content key is
-        # ``hash(str)`` — a 48 MiB siphash (~40 ms) that would otherwise land
-        # on the search worker's critical path every batch (each batch is a
-        # fresh str object, so the str's cached hash starts cold). Seeding
-        # the byte cache also spares the decode-side re-encode.
-        from .utils.graphemes import register_view, view_of
+        # Build the haystack view HERE — the search worker finds it by
+        # identity (register_view), so its critical path never touches it.
+        # ASCII batches skip view_of entirely: its content key is
+        # ``hash(str)``, a 48 MiB siphash (~40 ms per batch) buying an LRU
+        # hit that an ASCII view (zero-copy, bytes seeded below) doesn't
+        # need. Non-ASCII views carry a real segmentation pass, so the
+        # content-keyed cache stays worth the hash for them.
+        from .utils.graphemes import HaystackView, register_view, view_of
 
-        view = view_of(st, self.case_insensitive)
-        if view._bytes is None and view.ascii:
+        if st.isascii():
+            view = HaystackView(st, self.case_insensitive)
             view._bytes = sb
+        else:
+            view = view_of(st, self.case_insensitive)
+            if view._bytes is None and view.ascii:
+                view._bytes = sb
         register_view(view)
         return _BatchPrep(windows, sb, st, offs, view)
 
@@ -862,10 +868,12 @@ def replace_stream_parallel(engine, reader, writer, shards: int, threshold: floa
 
     table = _as_replacement_table(callback)
     rt = None
-    if table is not None:
-        from .utils import native as _native
+    _ebuf = None
+    from .utils import native as _native
 
+    if table is not None:
         rt = _native.ReplacementTable(table)
+        _ebuf = _native._BatchEmitBuf()
     wr = WindowReader(reader, DEFAULT_WINDOW, engine.stream_overlap())
     cursor = _ReplaceCursor()
     # Each dispatch carries a fixed host-link latency (~30-45 ms on tunneled
@@ -905,6 +913,43 @@ def replace_stream_parallel(engine, reader, writer, shards: int, threshold: floa
             _tp = _time.perf_counter() if _timing else 0.0
             owned_lists = _post_replace_batch(engine, prep, raw)
             _te = _time.perf_counter() if _timing else 0.0
+            batchable = (
+                rt is not None
+                and prep.super_bytes is not None
+                and all(
+                    isinstance(o, LazyMatchList) and o.unmaterialized
+                    for o in owned_lists
+                )
+            )
+            if batchable:
+                # One C pass emits the whole batch (the per-window wrapper
+                # cost — buffer alloc, marshal, slice, write — was ~0.7 ms x
+                # ~190 windows/batch, the emit stage's dominant term).
+                sbs, ebs, pats, wids = [], [], [], []
+                for i, o in enumerate(owned_lists):
+                    k = len(o._start)
+                    if k:
+                        sbs.append(np.asarray(o._start, dtype=np.int64))
+                        ebs.append(np.asarray(o._end, dtype=np.int64))
+                        pats.append(np.asarray(o._pat, dtype=np.int32))
+                        wids.append(np.full(k, i, dtype=np.int32))
+                cat = lambda xs, dt: (
+                    np.concatenate(xs) if xs else np.zeros(0, dtype=dt)
+                )
+                res = _native.replace_emit_batch(
+                    prep.super_bytes, cursor.emitted, prep.offs,
+                    [w.base for w in prep.windows],
+                    [w.commit for w in prep.windows],
+                    cat(sbs, np.int64), cat(ebs, np.int64),
+                    cat(pats, np.int32), cat(wids, np.int32), rt, buf=_ebuf,
+                )
+                if res is not None:
+                    mv, new_emitted = res
+                    writer.write(mv)
+                    cursor.written += len(mv)
+                    cursor.emitted = new_emitted
+                    batchable = False  # emitted; skip the per-window loop
+                    owned_lists = ()
             for w, owned in zip(prep.windows, owned_lists):
                 if table is not None and isinstance(owned, LazyMatchList) \
                         and owned.unmaterialized:

@@ -101,6 +101,15 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             pi64, p8,                      # state, out
         ]
         lib.replace_emit_table.restype = i64
+    if hasattr(lib, "replace_emit_batch"):
+        lib.replace_emit_batch.argtypes = [
+            ctypes.c_char_p,               # superwindow bytes
+            pi64, pi64, pi64, i32,         # doff, base, commit, nwin
+            pi64, pi64, p32, p32, i64,     # s, e, pat, wid, n
+            p8, pi64, i32, p8,             # tbl, tbl_off, ntbl, keep_orig
+            pi64, p8,                      # state, out
+        ]
+        lib.replace_emit_batch.restype = i64
     _ = (ps8, pf32)  # (kept for symmetry with future signatures)
     return lib
 
@@ -207,6 +216,57 @@ class ReplacementTable:
         self.keep = np.asarray(keep, dtype=np.uint8)
         self.n = len(table)
         self.max_len = int(max((len(p) for p in parts), default=0))
+
+
+class _BatchEmitBuf:
+    """Reusable output buffer for the batch emit (a fresh ~50 MiB np.empty
+    per batch costs page-fault time on the critical emit path)."""
+
+    __slots__ = ("buf",)
+
+    def __init__(self):
+        self.buf = np.empty(0, dtype=np.uint8)
+
+    def get(self, cap: int) -> np.ndarray:
+        if self.buf.size < cap:
+            self.buf = np.empty(cap + (cap >> 2), dtype=np.uint8)
+        return self.buf
+
+
+def replace_emit_batch(data: bytes, emitted: int, doff, base, commit,
+                       s, e, pat, wid, rt: "ReplacementTable",
+                       buf: Optional[_BatchEmitBuf] = None) -> Optional[tuple]:
+    """One superwindow BATCH's table-replacement emit in C: returns
+    (out_memoryview, new_emitted) or None when the native library is
+    unavailable. ``doff``/``base``/``commit`` are per-window (byte offset in
+    ``data``, absolute stream base, commit length); ``s``/``e``/``pat``/
+    ``wid`` the window-local match rows in stream order; ``emitted`` the
+    absolute cursor carried across batches."""
+    L = lib()
+    if L is None or not hasattr(L, "replace_emit_batch"):
+        return None
+    doff64 = np.ascontiguousarray(doff, dtype=np.int64)
+    base64 = np.ascontiguousarray(base, dtype=np.int64)
+    cm64 = np.ascontiguousarray(commit, dtype=np.int64)
+    s64 = np.ascontiguousarray(s, dtype=np.int64)
+    e64 = np.ascontiguousarray(e, dtype=np.int64)
+    p32 = np.ascontiguousarray(pat, dtype=np.int32)
+    w32 = np.ascontiguousarray(wid, dtype=np.int32)
+    n = len(s64)
+    nwin = len(base64)
+    # Output may extend past the last commit (keep-original overhang; see
+    # replace_emit_table) — size for the furthest absolute span end.
+    end_abs = int(base64[-1] + cm64[-1]) if nwin else 0
+    if n:
+        end_abs = max(end_abs, int((base64[w32] + e64).max()))
+    cap = (end_abs - min(emitted, end_abs)) + n * rt.max_len + 1
+    out = np.empty(cap, dtype=np.uint8) if buf is None else buf.get(cap)
+    state = np.array([emitted], dtype=np.int64)
+    written = L.replace_emit_batch(
+        data, doff64, base64, cm64, nwin, s64, e64, p32, w32, n,
+        rt.tbl, rt.off, rt.n, rt.keep, state, out,
+    )
+    return memoryview(out)[:written], int(state[0])
 
 
 def replace_emit_table(data: bytes, cur: int, commit: int, s, e, pat,

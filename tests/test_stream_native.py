@@ -128,6 +128,81 @@ def test_replace_emit_table_overhang_past_commit_capacity():
     assert c_c.emitted == c_py.emitted == 220
 
 
+@pytest.mark.skipif(native.lib() is None, reason="native library unavailable")
+def test_replace_emit_batch_matches_per_window_emit():
+    """The whole-batch C emit must be byte-identical to the sequential
+    per-window emits, including a keep-original match overhanging its
+    window's commit into the next window (the cross-window cursor rule)."""
+    rng = np.random.default_rng(29)
+    table = [b"<x>", None, b"", b"LONGREPLACEMENT"]
+    rt = native.ReplacementTable(table)
+    for trial in range(30):
+        nwin = int(rng.integers(1, 6))
+        doff, base, commit, datas = [], [], [], []
+        pos_abs = 0
+        off = 0
+        win_rows = []
+        for w in range(nwin):
+            nb = int(rng.integers(60, 300))
+            cm = int(rng.integers(nb // 2, nb + 1))
+            d = bytes(rng.integers(97, 123, size=nb, dtype=np.uint8))
+            doff.append(off)
+            base.append(pos_abs)
+            commit.append(cm)
+            datas.append(d)
+            # sorted non-overlapping window-local spans; allow ends past
+            # commit (the search window read beyond its commit)
+            cuts = np.sort(rng.choice(nb, size=min(nb, 10), replace=False))
+            spans = [
+                (int(cuts[i]), int(cuts[i + 1]))
+                for i in range(0, len(cuts) - 1, 2)
+                if cuts[i] < cm
+            ]
+            pats = rng.integers(0, 6, size=len(spans)).astype(np.int32)
+            win_rows.append((spans, pats))
+            off += nb + 3  # separator gap
+            pos_abs += cm
+        data = b"\0\0\0".join(datas) + b""
+        # pad data so doff windows line up with the separator gaps
+        blob = bytearray()
+        for w, d in enumerate(datas):
+            assert len(blob) == doff[w]
+            blob += d
+            blob += b"\0\0\0"
+        data = bytes(blob)
+
+        # Sequential per-window reference.
+        out_ref = io.BytesIO()
+        c_ref = _ReplaceCursor()
+        for w in range(nwin):
+            spans, pats = win_rows[w]
+            sb = np.array([a for a, _ in spans], dtype=np.int64)
+            eb = np.array([b for _, b in spans], dtype=np.int64)
+            c_ref.emit_window_table(
+                out_ref, table, base[w], datas[w], commit[w], sb, eb, pats,
+                rt=rt,
+            )
+
+        # One batch call.
+        sbs, ebs, ps, ws = [], [], [], []
+        for w in range(nwin):
+            spans, pats = win_rows[w]
+            for (a, b), p in zip(spans, pats):
+                sbs.append(a)
+                ebs.append(b)
+                ps.append(p)
+                ws.append(w)
+        res = native.replace_emit_batch(
+            data, 0, doff, base, commit,
+            np.array(sbs, np.int64), np.array(ebs, np.int64),
+            np.array(ps, np.int32), np.array(ws, np.int32), rt,
+        )
+        assert res is not None
+        mv, emitted = res
+        assert bytes(mv) == out_ref.getvalue(), f"trial {trial}"
+        assert emitted == c_ref.emitted
+
+
 def test_greedy_nonoverlap_declines_zero_length_rows():
     # Zero-length rows diverge between the C occupancy pass and the bisect
     # fallback; the wrapper must route them to the fallback (return None).
