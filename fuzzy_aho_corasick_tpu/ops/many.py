@@ -53,30 +53,97 @@ MANY_LIMBS = int(_os_ml.environ.get("FAC_MANY_LIMBS", "32"))
 #: Pattern-id field in the packed emission rows is 12 bits.
 MANY_MAX_PATTERNS = 4095
 
+#: Folded-layout tuning (see ``_fold_assign``): total false-fire budget per
+#: corpus position (split across length strata), the superposition cap per
+#: bit lane, and the per-chunk limb budget for folded chunks (wider than the
+#: plain MANY_LIMBS — the whole point is fewer, wider passes; the traced
+#: kernel's VMEM layout derivation charges the extra scratch per lane).
+FOLD_EPS = float(_os_ml.environ.get("FAC_MANY_FOLD_EPS", str(1.0 / 1024.0)))
+FOLD_MAX_F = 8.0
+FOLD_CHUNK_LIMBS = 64
+#: Floor of the folded lane's runtime hit ceiling (tests patch this down to
+#: exercise the plain-chunking fallback on small corpora).
+FOLD_HIT_CEIL_MIN = 1 << 14
+
+
+def _fold_assign(pats, A: int, E: int):
+    """Stratified-folded (limb, bit) assignment: one aligned bit lane serves
+    up to ``f`` patterns of the same length (their symbol masks OR'd).
+
+    The scan cost of the chunked lane is ~``A x total_limbs`` selects per
+    corpus position — invariant under chunk width — so the only way to scan
+    a large dictionary faster is to put MORE patterns per bit. Superimposing
+    f same-length patterns on one aligned lane raises the per-step advance
+    probability from ~1/A to ~f/A, i.e. the lane's false-fire rate grows as
+    (f/A)^(m-k): long patterns tolerate exponentially more fold. Shallow
+    strata stay at f=1; deep strata fold 3-8x, shrinking total limbs ~4x and
+    with them the number of scan passes. Every fired candidate is verified
+    by the banded DP (exact), so folding trades verify work for scan work —
+    false positives only, never false negatives: all scan masks are bitwise
+    ORs of the per-pattern masks and the kernel recurrence is monotone in
+    every mask bit (shift/AND/OR only, packed_bitap._kernel_factory).
+
+    Aligned lanes (same lo, same m) keep the mask algebra trivial: last
+    bits coincide, so the Damerau ``notlast`` guard never clears an interior
+    bit of a co-resident pattern.
+
+    Returns a list of (pattern index, (limb, lo)) in limb order, or None
+    when some pattern exceeds 64 graphemes.
+    """
+    strata: dict = {}
+    for i, bp in enumerate(pats):
+        if bp.m < 1 or bp.m > 64:
+            return None
+        strata.setdefault(bp.m, []).append(i)
+    A_h = max(2, A - 1)
+    eps_m = FOLD_EPS / len(strata)
+    out = []
+    base = 0
+    for m in sorted(strata):
+        idxs = strata[m]
+        g = 64 // m
+        kk = min(E, max(0, m - 1))
+        # Solve (f/A)^(m-k) * (m+1)^k * count <= eps_m for the fold factor.
+        denom = float((m + 1) ** kk * len(idxs))
+        q = (eps_m / denom) ** (1.0 / max(1, m - kk))
+        f = max(1.0, min(FOLD_MAX_F, q * A_h))
+        per_limb = max(g, min(len(idxs), int(f * g)))
+        n_limbs = -(-len(idxs) // per_limb)
+        for j, p in enumerate(idxs):
+            limb = base + j // per_limb
+            slot = (j % per_limb) % g
+            out.append((p, (limb, slot * m)))
+        base += n_limbs
+    return out
+
 
 class ManyPackSpec:
     """Per-engine chunked packing: host numpy tables, one entry per chunk.
 
-    ``chunks`` entries hold (p0, p1, offsets, word_tbl, f_rows) where
-    ``offsets`` are the chunk's (limb, bit) per pattern and ``f_rows`` the
-    flattened (verify_field, u32 col, shift, depth) expansion rows.
-    ``W``/``A``/``F`` are the uniform static shapes; ``m_max`` the global
-    longest pattern (the scan halo length).
+    ``chunks`` entries hold (pidx, offsets, ms, word_tbl, cr_*) where
+    ``pidx`` are the chunk's pattern indices (engine order), ``offsets`` the
+    (limb, bit) per pattern — folded layouts assign several patterns to one
+    aligned bit lane — and ``cr_field``/``cr_shift``/``cr_depth`` [2W, R]
+    the per-u32-column expansion rows (the verify fields whose match bit
+    lives in that column, padded with field -1). ``W``/``A``/``R`` are the
+    uniform static shapes; ``m_max`` the global longest pattern (the scan
+    halo length).
     """
 
-    __slots__ = ("filt", "chunks", "W", "A", "F", "m_max", "n_pat")
+    __slots__ = ("filt", "chunks", "W", "A", "R", "m_max", "n_pat", "folded")
 
-    def __init__(self, filt, chunks, W, A, F, m_max, n_pat):
+    def __init__(self, filt, chunks, W, A, R, m_max, n_pat, folded=False):
         self.filt = filt
         self.chunks = chunks
         self.W = W
         self.A = A
-        self.F = F
+        self.R = R
         self.m_max = m_max
         self.n_pat = n_pat
+        self.folded = folded
 
     @staticmethod
-    def build(engine) -> Optional["ManyPackSpec"]:
+    def build(engine, fold: bool = False) -> Optional["ManyPackSpec"]:
         from ..prefilter import BitapFilter
         from .packed_bitap import (
             MAX_ALPHABET_PACKED, _pack_fields, _word_table,
@@ -99,77 +166,116 @@ class ManyPackSpec:
         if A > MAX_ALPHABET_PACKED:
             return None
 
-        # Greedy consecutive chunking under the limb budget.
+        # ranges: list of (pidx ndarray, offsets list) per chunk.
         ranges = []
-        p0 = 0
-        while p0 < len(pats):
-            p1 = p0 + 1
-            while p1 <= len(pats):
-                offs = _pack_fields([bp.m for bp in pats[p0:p1]])
-                if offs is None:
-                    return None  # some pattern > 64 graphemes
-                if max(w for w, _ in offs) + 1 > MANY_LIMBS:
-                    break
-                p1 += 1
-            p1 -= 1
-            if p1 <= p0:
-                return None  # single pattern exceeds the limb budget
-            ranges.append((p0, p1))
-            p0 = p1
+        if fold:
+            assign = _fold_assign(pats, A, engine.max_edits_fast)
+            if assign is None:
+                return None
+            # Split the folded layout at FOLD_CHUNK_LIMBS limb boundaries,
+            # rebasing limb indices per chunk (patterns arrive limb-ordered).
+            cur_p, cur_o, cur_c = [], [], 0
+            for p, (lw, lo) in assign:
+                c = lw // FOLD_CHUNK_LIMBS
+                if c != cur_c and cur_p:
+                    ranges.append((np.asarray(cur_p), cur_o))
+                    cur_p, cur_o = [], []
+                cur_c = c
+                cur_p.append(p)
+                cur_o.append((lw - c * FOLD_CHUNK_LIMBS, lo))
+            if cur_p:
+                ranges.append((np.asarray(cur_p), cur_o))
+            # Fold pays off only when it actually cuts the pass count.
+            offs_plain = _pack_fields([bp.m for bp in pats])
+            if offs_plain is None:
+                return None
+            plain_chunks = -(-(max(w for w, _ in offs_plain) + 1) // MANY_LIMBS)
+            if len(ranges) >= plain_chunks:
+                return None
+        else:
+            # Greedy consecutive chunking under the limb budget.
+            p0 = 0
+            while p0 < len(pats):
+                p1 = p0 + 1
+                while p1 <= len(pats):
+                    offs = _pack_fields([bp.m for bp in pats[p0:p1]])
+                    if offs is None:
+                        return None  # some pattern > 64 graphemes
+                    if max(w for w, _ in offs) + 1 > MANY_LIMBS:
+                        break
+                    p1 += 1
+                p1 -= 1
+                if p1 <= p0:
+                    return None  # single pattern exceeds the limb budget
+                ranges.append(
+                    (np.arange(p0, p1),
+                     _pack_fields([bp.m for bp in pats[p0:p1]]))
+                )
+                p0 = p1
 
-        # Static expansion-table maps: (pattern) -> its verify fields with
-        # the pattern's match-bit (col, shift) in the chunk limb layout.
+        # Static expansion-table maps, grouped by u32 column: the sparse
+        # expansion looks up a fired word's rows directly (one bit lane's
+        # co-resident patterns all live in the same column).
         chunks = []
         W = 1
-        F = 1
-        for (p0, p1) in ranges:
-            ms = [bp.m for bp in pats[p0:p1]]
-            offsets = _pack_fields(ms)
+        R = 1
+        for (pidx, offsets) in ranges:
+            ms = [pats[p].m for p in pidx]
             w_c = max(w for w, _ in offsets) + 1
             W = max(W, w_c)
-            rows = []
-            for pi, ((lw, lo), m_p) in enumerate(zip(offsets, ms)):
+            by_col: dict = {}
+            for p, (lw, lo), m_p in zip(pidx, offsets, ms):
                 bit = lo + m_p - 1
                 col, sh = 2 * lw + (bit >> 5), bit & 31
-                for fld in vf.pat2field[p0 + pi]:
+                for fld in vf.pat2field[p]:
                     if fld < 0:
                         continue
-                    rows.append((int(fld), col, sh, int(vf.depth[fld])))
-            F = max(F, len(rows))
-            chunks.append((p0, p1, offsets, ms, rows))
+                    row = (int(fld), sh, int(vf.depth[fld]))
+                    by_col.setdefault(col, [])
+                    if row not in by_col[col]:
+                        by_col[col].append(row)
+            R = max([R] + [len(v) for v in by_col.values()])
+            chunks.append((pidx, offsets, ms, by_col))
 
-        # Uniform-shape numpy tables (padded to the global W / F).
+        # Uniform-shape numpy tables (padded to the global W / R).
         out_chunks = []
-        for (p0, p1, offsets, ms, rows) in chunks:
+        for (pidx, offsets, ms, by_col) in chunks:
             limb = np.zeros((A, W), dtype=np.uint64)
-            for bp, (lw, lo) in zip(pats[p0:p1], offsets):
+            for p, (lw, lo) in zip(pidx, offsets):
+                bp = pats[p]
                 limb[: len(bp.mask), lw] |= bp.mask << np.uint64(lo)
             word_tbl = _word_table(limb, A, W)            # [A, 2W] i32
-            f_ids = np.full(F, -1, dtype=np.int32)
-            f_col = np.zeros(F, dtype=np.int32)
-            f_shift = np.zeros(F, dtype=np.int32)
-            f_depth = np.zeros(F, dtype=np.int32)
-            for i, (fld, col, sh, d) in enumerate(rows):
-                f_ids[i], f_col[i], f_shift[i], f_depth[i] = fld, col, sh, d
+            cr_field = np.full((2 * W, R), -1, dtype=np.int32)
+            cr_shift = np.zeros((2 * W, R), dtype=np.int32)
+            cr_depth = np.zeros((2 * W, R), dtype=np.int32)
+            for col, rows in by_col.items():
+                for i, (fld, sh, d) in enumerate(rows):
+                    cr_field[col, i] = fld
+                    cr_shift[col, i] = sh
+                    cr_depth[col, i] = d
             out_chunks.append(
-                (p0, p1, offsets, ms, word_tbl, f_ids, f_col, f_shift, f_depth)
+                (pidx, offsets, ms, word_tbl, cr_field, cr_shift, cr_depth)
             )
         m_max = max(bp.m for bp in pats)
-        return ManyPackSpec(filt, out_chunks, W, A, F, m_max, len(pats))
+        return ManyPackSpec(
+            filt, out_chunks, W, A, R, m_max, len(pats), folded=fold
+        )
 
     def masks_for(self, ks: List[int], k: int):
         """Per-chunk (starts [2W], match [k+1, 2W], init [k+1, 2W], notlast
         [2W] i32) at the given per-pattern budgets (reference fresh-start
         state src/prefilter.rs:414-418); ``k`` is the uniform row count.
         ``notlast`` clears every field's LAST bit — the traced Damerau
-        recurrence's bc_next guard (packed_bitap._kernel_factory)."""
+        recurrence's bc_next guard (packed_bitap._kernel_factory). Folded
+        layouts OR the masks of co-resident patterns; their last bits
+        coincide (aligned lanes), so notlast never clears an interior bit."""
         from .packed_bitap import _last_bit_mask, _starts_mask
 
         out = []
-        for (p0, p1, offsets, ms, *_rest) in self.chunks:
+        for (pidx, offsets, ms, *_rest) in self.chunks:
             starts = _starts_mask(offsets, self.W)
             match = _last_bit_mask(
-                offsets, ms, k + 1, lambda i: ks[p0 + i], self.W
+                offsets, ms, k + 1, lambda i: ks[pidx[i]], self.W
             )
             init = np.zeros((k + 1, 2 * self.W), dtype=np.uint32)
             for (lw, lo), m in zip(offsets, ms):
@@ -185,48 +291,66 @@ class ManyPackSpec:
         return out
 
 
-def many_spec_of(engine) -> Optional[ManyPackSpec]:
-    sp = getattr(engine, "_many_spec_cache", None)
+def many_spec_of(engine, fold: bool = False) -> Optional[ManyPackSpec]:
+    key = "_many_spec_cache_fold" if fold else "_many_spec_cache"
+    sp = getattr(engine, key, None)
     if sp is None:
-        sp = ManyPackSpec.build(engine)
-        engine._many_spec_cache = sp if sp is not None else False
+        sp = ManyPackSpec.build(engine, fold=fold)
+        setattr(engine, key, sp if sp is not None else False)
     return sp if sp is not False else None
 
 
-def _expand_candidates_traced(
-    pos, words, start_lo, start_hi, pos_hi, E, CAND,
-    f_ids, f_col, f_shift, f_depth,
+def _expand_candidates_sparse(
+    pos, words, start_lo, start_hi, pos_hi, E, CAND, KH2,
+    cr_field, cr_shift, cr_depth,
 ):
-    """Gather-based form of verify_dp._expand_candidates: the per-pattern
-    maps are traced device arrays instead of unrolled python constants, so
-    one compiled kernel serves every pattern chunk. Same semantics, including
-    the hit-run dedup (adjacent ends of one pattern produce one candidate)."""
+    """Two-level sparse form of the candidate expansion: first compact the
+    nonzero (hit, u32-word) pairs out of ``words`` [KH, 2W] (almost every
+    hit fires bits in exactly one word), then expand ONLY the rows mapped
+    to that word (``cr_*`` [2W, R]: the (verify_field, shift, depth) rows
+    whose match bit lives in that u32 column). The dense form walked
+    KH x F x B cells and its prefix-sum compaction dominated the folded
+    single-pass pipeline (measured ~90 ms of a 135 ms dispatch at
+    KH=13k, F=1000); this walks KH2 x R x B with R ~ 30-60.
+
+    Same semantics as the dense form, including the hit-run dedup: band
+    b > 0 candidates are suppressed when the same bit fired at pos - 1 —
+    the pos - 1 expansion already covers those starts (fields are a
+    function of the bit alone, so this holds for superimposed lanes too).
+    """
     B = 2 * E + 1
+    KH, W2 = words.shape
     hit_ok = (pos >= 0) & (pos < pos_hi)
-    ends = pos + 1
-    sh_row = f_shift[None, :].astype(jnp.uint32)
-    wsel = jnp.take(words.astype(jnp.uint32), f_col, axis=1)       # [KH, F]
-    bits = (wsel >> sh_row) & jnp.uint32(1)
-    alive_f = (f_ids >= 0)[None, :]
-    fired = hit_ok[:, None] & (bits == 1) & alive_f
-    prev_same = jnp.concatenate(
-        [jnp.zeros((1,), bool), pos[1:] == pos[:-1] + 1]
-    )
-    wprev = jnp.concatenate(
-        [jnp.zeros((1, words.shape[1]), words.dtype), words[:-1]], axis=0
-    )
-    bits_p = (jnp.take(wprev.astype(jnp.uint32), f_col, axis=1) >> sh_row) & jnp.uint32(1)
+    nz = (words != 0) & hit_ok[:, None]                       # [KH, 2W]
+    pair_count, pidx = compact_indices(nz.reshape(-1), KH2)   # [KH2]
+    psafe = jnp.maximum(pidx, 0)
+    h = psafe // W2
+    c = psafe % W2
+    alive_p = pidx >= 0
+    w = words[h, c].astype(jnp.uint32)                        # [KH2]
+    ends = pos[h] + 1
+    # prev-hit adjacency (hit rows are position-ordered within a lane; the
+    # dense form used the same neighbour test).
+    hprev = jnp.maximum(h - 1, 0)
+    prev_same = alive_p & (h > 0) & (pos[hprev] + 1 == pos[h])
+    wprev = jnp.where(prev_same, words[hprev, c], 0).astype(jnp.uint32)
+
+    rf = cr_field[c]                                          # [KH2, R]
+    rs = cr_shift[c].astype(jnp.uint32)
+    rd = cr_depth[c]
+    bits = (w[:, None] >> rs) & jnp.uint32(1)
+    fired = alive_p[:, None] & (rf >= 0) & (bits == 1)
+    bits_p = (wprev[:, None] >> rs) & jnp.uint32(1)
     dup = prev_same[:, None] & (bits_p == 1)
 
     ok_list, cf_list, cs_list = [], [], []
-    ids_row = f_ids[None, :]
     for b in range(B):
-        start = ends[:, None] - (f_depth[None, :] + (b - E))
+        start = ends[:, None] - (rd + (b - E))
         ok = fired & (start >= start_lo) & (start < start_hi)
         if b > 0:
             ok = ok & ~dup
         ok_list.append(ok.reshape(-1))
-        cf_list.append(jnp.where(ok, ids_row, -1).reshape(-1))
+        cf_list.append(jnp.where(ok, rf, -1).reshape(-1))
         cs_list.append(jnp.where(ok, start, 0).reshape(-1))
     cfs_all = jnp.stack(
         [jnp.concatenate(cf_list), jnp.concatenate(cs_list)], axis=1
@@ -237,31 +361,32 @@ def _expand_candidates_traced(
     pair = cfs_all[csafe]
     cand_field = jnp.where(cidx >= 0, pair[:, 0], -1)
     cand_start = jnp.where(cidx >= 0, pair[:, 1], 0)
-    return cand_count, cand_field, cand_start
+    return pair_count, cand_count, cand_field, cand_start
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
-        "KH", "CAND", "KG", "E", "Lmax", "C", "MO", "DEADEND",
+        "KH", "KH2", "CAND", "KG", "E", "Lmax", "C", "MO", "DEADEND",
     ),
 )
 def _many_pipeline_jit(
     ids_pf, ids_pf_w32, word_tbl, pf_starts, pf_match, pf_init, pf_notlast,
-    f_ids, f_col, f_shift, f_depth,
+    cr_field, cr_shift, cr_depth,
     depth_arr, node_arr, path_cls_flat, path_node_flat,
     out_list, pat_len, pat_weight,
     ids_dense, ids_dense_w32, limit, start_lo, start_hi,
     sim_flat, node_ceil, sb_edge_flat, out_count_arr,
     max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
     A, W, NL, TB, grid, chunkpf, halo, k,
-    KH, CAND, KG, E, Lmax, C, MO,
+    KH, KH2, CAND, KG, E, Lmax, C, MO,
     DEADEND=False,
 ):
     """One pattern-chunk's full search: scan -> expand -> banded DP -> emit.
-    Identical result layout to verify_dp._dp_pipeline_jit (header row +
-    12-byte emission rows); per-chunk tables are traced inputs.
+    Result layout: TWO header rows ((hits, candidates, emissions) and
+    (nonzero hit-word pairs, 0, 0)) followed by the 12-byte emission rows;
+    per-chunk tables are traced inputs.
     ``pf_notlast`` (or None): traced Damerau recurrence — swap = 1 bitap
     error, so swap-permitting budgets scan with k = edits."""
     from .packed_bitap import packed_hits
@@ -272,9 +397,9 @@ def _many_pipeline_jit(
         A, W, NL, TB, grid, chunkpf, halo, k, KH,
         ids_w32=ids_pf_w32, consts=None, notlast=pf_notlast,
     )
-    cand_count, cand_field, cand_start = _expand_candidates_traced(
-        pos, words, start_lo, start_hi, limit, E, CAND,
-        f_ids, f_col, f_shift, f_depth,
+    pair_count, cand_count, cand_field, cand_start = _expand_candidates_sparse(
+        pos, words, start_lo, start_hi, limit, E, CAND, KH2,
+        cr_field, cr_shift, cr_depth,
     )
     pen_flat, cnt_flat = _banded_dp(
         cand_field, cand_start,
@@ -293,19 +418,53 @@ def _many_pipeline_jit(
         limit, thr, E, MO, CAND, KG,
     )
     header = (
-        jnp.zeros((1, 3), jnp.int32)
+        jnp.zeros((2, 3), jnp.int32)
         .at[0, 0].set(count_h)
         .at[0, 1].set(cand_count)
         .at[0, 2].set(total)
+        .at[1, 0].set(pair_count)
     )
     return jnp.concatenate([header, rows], axis=0)
+
+
+#: Sentinel: the folded scan fired past its hit ceiling (degenerate corpus
+#: for the superimposed layout) — the caller re-runs with the plain chunks.
+_FOLD_OVERFLOW = object()
 
 
 def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optional[List]:
     """Chunked large-dictionary fuzzy search; None when not applicable (the
     caller falls back to the beam kernels / oracle). Oracle-identical
     matches. FAST-path configurations only (global total-edit budget, no
-    mappings, no per-pattern limits — the DeviceEngine gate)."""
+    mappings, no per-pattern limits — the DeviceEngine gate).
+
+    Tries the stratified-folded single-pass layout first (``_fold_assign``);
+    if the superimposed scan fires past its hit ceiling on this corpus, the
+    engine permanently falls back to the plain (unsuperimposed) chunking.
+    """
+    import os as _os_f
+
+    use_fold = (
+        _os_f.environ.get("FAC_MANY_FOLD") != "0"
+        and not getattr(engine, "_many_fold_off", False)
+    )
+    if use_fold:
+        spec = many_spec_of(engine, fold=True)
+        if spec is not None:
+            res = _many_search_spec(engine, spec, haystack, threshold, view, n)
+            if res is not _FOLD_OVERFLOW:
+                return res
+            engine._many_fold_off = True
+    spec = many_spec_of(engine)
+    if spec is None:
+        return None
+    res = _many_search_spec(engine, spec, haystack, threshold, view, n)
+    return None if res is _FOLD_OVERFLOW else res
+
+
+def _many_search_spec(
+    engine, spec, haystack: str, threshold, view, n: int
+):
     from ..utils import device_corpus
     from .packed_bitap import (
         RESIDENT_MAX, _cap_cache, _derive_layout_resident, _dev_consts,
@@ -315,9 +474,6 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
 
     thr = np.float32(threshold)
     if n > RESIDENT_MAX:
-        return None
-    spec = many_spec_of(engine)
-    if spec is None:
         return None
     vf = verify_fields_of(engine)
     if vf is None:
@@ -374,8 +530,8 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
     def _ship():
         masks = spec.masks_for(ks, k)
         out = []
-        for ci, ((_p0, _p1, _offs, _ms, word_tbl, f_ids, f_col, f_shift,
-                  f_depth), (starts, match, init, notlast)) in enumerate(
+        for ci, ((_pidx, _offs, _ms, word_tbl, cr_field, cr_shift,
+                  cr_depth), (starts, match, init, notlast)) in enumerate(
             zip(spec.chunks, masks)
         ):
             out.append((
@@ -384,15 +540,14 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
                 jax.device_put(np.ascontiguousarray(match).view(np.int32)),
                 jax.device_put(np.ascontiguousarray(init).view(np.int32)),
                 jax.device_put(notlast) if dam else None,
-                jax.device_put(f_ids),
-                jax.device_put(f_col),
-                jax.device_put(f_shift),
-                jax.device_put(f_depth),
+                jax.device_put(cr_field),
+                jax.device_put(cr_shift),
+                jax.device_put(cr_depth),
             ))
         return tuple(out)
 
     chunk_tabs = _dev_consts(
-        engine, ("many-consts", float(thr), dam), _ship
+        engine, ("many-consts", float(thr), dam, spec.folded), _ship
     )
 
     dtabs = getattr(engine, "_dp_dev_tables", None)
@@ -417,26 +572,32 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
     )
 
     caps = _cap_cache(engine)
-    kh_key = ("many-KH", nb)
-    ca_key = ("many-CAND", nb)
-    kg_key = ("many-KG", nb)
+    kh_key = ("many-KH", nb, spec.folded)
+    k2_key = ("many-KH2", nb, spec.folded)
+    ca_key = ("many-CAND", nb, spec.folded)
+    kg_key = ("many-KG", nb, spec.folded)
     KH = caps.get(kh_key, _fine_cap(max(1 << 13, nb >> 10)))
+    KH2 = caps.get(k2_key, _fine_cap(max(1 << 13, nb >> 10)))
     CAND = caps.get(ca_key, _fine_cap(max(1 << 14, nb >> 9)))
     KG = caps.get(kg_key, _fine_cap(max(1 << 15, nb >> 11)))
     MAX_EXPAND = 1 << 27
-    if KH * spec.F * (2 * E + 1) > MAX_EXPAND:
+    if KH2 * spec.R * (2 * E + 1) > MAX_EXPAND:
         return None
+    # Folded layouts verify every superimposed fire with the (cheap) DP, but
+    # a degenerate corpus can still swamp the hit buffer; past this ceiling
+    # the plain chunking is the better program.
+    HIT_CEIL = max(FOLD_HIT_CEIL_MIN, nb >> 8) if spec.folded else None
 
     import os as _os
     import time as _time
 
     _timing = _os.environ.get("FAC_TIME") == "1"
 
-    def _launch(ci, KH_, CAND_, KG_):
-        (word_tbl, sb, mb, ib, nlb, f_ids, f_col, f_shift, f_depth) = chunk_tabs[ci]
+    def _launch(ci, KH_, KH2_, CAND_, KG_):
+        (word_tbl, sb, mb, ib, nlb, cr_f, cr_s, cr_d) = chunk_tabs[ci]
         return _many_pipeline_jit(
             ids_pf, ids_pf_w32, word_tbl, sb, mb, ib, nlb,
-            f_ids, f_col, f_shift, f_depth,
+            cr_f, cr_s, cr_d,
             dep_d, node_d, pcls_d, pnode_d,
             olist_d, plen_d, pw_d,
             ids_dense, ids_dense_w32, np.int32(n), np.int32(0), np.int32(n),
@@ -445,7 +606,7 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
             pens.swap, engine.min_symbol_similarity, thr,
             A=spec.A, W=spec.W, NL=NL, TB=TB, grid=grid, chunkpf=chunkpf,
             halo=halo, k=k,
-            KH=KH_, CAND=CAND_, KG=KG_, E=E, Lmax=vf.max_depth,
+            KH=KH_, KH2=KH2_, CAND=CAND_, KG=KG_, E=E, Lmax=vf.max_depth,
             C=dense.num_classes, MO=dense.max_out,
             DEADEND=dense.has_multibyte_edges,
         )
@@ -455,31 +616,37 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
 
     pend = []
     for ci in range(len(chunk_tabs)):
-        o = _retry_transient(lambda: _launch(ci, KH, CAND, KG))
+        o = _retry_transient(lambda: _launch(ci, KH, KH2, CAND, KG))
         try:
             o.copy_to_host_async()
         except (AttributeError, RuntimeError):
             pass
-        pend.append((o, (KH, CAND, KG)))
+        pend.append((o, (KH, KH2, CAND, KG)))
     if _timing:
         jax.block_until_ready(pend[-1][0])
         _t1 = _time.perf_counter()
 
     bufs = []
-    mx_h = mx_c = mx_g = 0
+    mx_h = mx_c = mx_g = mx_2 = 0
     sum_h = sum_c = 0
     for ci in range(len(chunk_tabs)):
-        out_dev, (KH_u, CAND_u, KG_u) = pend[ci]
+        out_dev, (KH_u, KH2_u, CAND_u, KG_u) = pend[ci]
         buf = jax.device_get(out_dev)
         while True:
             count_h, cand_count, total = (
                 int(buf[0, 0]), int(buf[0, 1]), int(buf[0, 2])
             )
+            pair_count = int(buf[1, 0])
+            if HIT_CEIL is not None and count_h > HIT_CEIL:
+                return _FOLD_OVERFLOW
             grew = False
             if count_h > KH_u:
                 KH = KH_u = _fine_cap(count_h)
-                if KH * spec.F * (2 * E + 1) > MAX_EXPAND:
-                    return None
+                grew = True
+            if pair_count > KH2_u:
+                KH2 = KH2_u = _fine_cap(pair_count)
+                if KH2 * spec.R * (2 * E + 1) > MAX_EXPAND:
+                    return _FOLD_OVERFLOW if spec.folded else None
                 grew = True
             if cand_count > CAND_u:
                 CAND = CAND_u = _fine_cap(cand_count)
@@ -490,18 +657,23 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
             if not grew:
                 break
             buf = jax.device_get(
-                _retry_transient(lambda: _launch(ci, KH_u, CAND_u, KG_u))
+                _retry_transient(
+                    lambda: _launch(ci, KH_u, KH2_u, CAND_u, KG_u)
+                )
             )
         mx_h, mx_c, mx_g = max(mx_h, count_h), max(mx_c, cand_count), max(mx_g, total)
+        mx_2 = max(mx_2, pair_count)
         sum_h += count_h
         sum_c += cand_count
         bufs.append((buf, total))
     _t2 = _time.perf_counter()
     caps[kh_key] = max(caps.get(kh_key, 0), KH)
+    caps[k2_key] = max(caps.get(k2_key, 0), KH2)
     caps[ca_key] = max(caps.get(ca_key, 0), CAND)
     caps[kg_key] = max(caps.get(kg_key, 0), KG)
     for key_, cap_, actual_ in (
-        (kh_key, KH, mx_h), (ca_key, CAND, mx_c), (kg_key, KG, mx_g)
+        (kh_key, KH, mx_h), (k2_key, KH2, mx_2), (ca_key, CAND, mx_c),
+        (kg_key, KG, mx_g)
     ):
         tight = _fine_cap(actual_)
         if 3 * tight <= 2 * cap_:
@@ -511,7 +683,7 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
     # (pattern, start, end), so the result order is canonical regardless of
     # chunk order; duplicate emissions (a verify field shared by patterns in
     # two chunks) collapse in its best-per-span pass with identical values.
-    rows = np.concatenate([buf[1 : 1 + total] for buf, total in bufs])
+    rows = np.concatenate([buf[2 : 2 + total] for buf, total in bufs])
     total = sum(t for _, t in bufs)
     from .emit import decode_matches
 
@@ -540,6 +712,7 @@ def fuzzy_search_many(engine, haystack: str, threshold, view, n: int) -> Optiona
         "matches": len(results),
         "chunks": len(chunk_tabs),
         "damerau": dam,
+        "folded": spec.folded,
     }
     if _timing:
         import sys as _sys

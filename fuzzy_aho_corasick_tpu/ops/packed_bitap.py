@@ -917,12 +917,26 @@ def _derive_layout_resident(nb: int, halo: int, W: int, k: int = 0,
     # budget — their layouts are compile-cached and never overflowed.
     tbytes, min_tb = 0, 8
     if tables_in_vmem:
-        tbytes = 8 * W * ((k + 1) + (k if damerau else 0))
+        rows = (k + 1) + (k if damerau else 0)
+        # Per-lane bytes: the persistent scan-state scratch ([rows, 2W, NL]
+        # u32) PLUS the kernel's live register arrays — the per-symbol bc
+        # words ([2W, NL]) and the new-state rows built alongside prev
+        # ([rows, 2W, NL] again) all coexist on the scoped-vmem stack.
+        # Measured: W=57, k=1 Damerau, NL=4096 allocated 17.1 MB ~=
+        # NL * 8W * (2*rows + 1) + 12*NL*TB — the old rows-only charge
+        # under-counted by ~2x and wide folded layouts OOMed at compile.
+        tbytes = 8 * W * (2 * rows + 1)
         min_tb = 48
-    while nl > 128 and VMEM_BLOCK_BYTES - nl * tbytes < nl * 12 * min_tb:
+    # The baked path keeps the historical half-limit headroom (its per-lane
+    # charge intentionally under-counts); the traced path's charge above is
+    # calibrated against a measured allocation, so it budgets against most
+    # of the real 16 MB scoped limit instead — halving NL costs ~2x wall
+    # per pass (measured: W=39 at NL=2048 scans no faster than W=57).
+    budget = (13 << 20) if tables_in_vmem else VMEM_BLOCK_BYTES
+    while nl > 128 and budget - nl * tbytes < nl * 12 * min_tb:
         nl //= 2
     chunk = nb // nl
-    tb = max(8, ((VMEM_BLOCK_BYTES - nl * tbytes) // (nl * 12)) // 8 * 8)
+    tb = max(8, ((budget - nl * tbytes) // (nl * 12)) // 8 * 8)
     grid = -(-(halo + chunk) // tb)
     return nl, tb, chunk, grid
 

@@ -47,10 +47,12 @@ def _corpus(dictionary, size: int, seed: int = 11) -> str:
 
 def test_many_lane_matches_oracle(monkeypatch):
     # Pin the narrow limb budget so a 120-pattern dictionary still spans
-    # multiple chunks (the default budget is wide enough to hold it in one).
+    # multiple chunks (the default budget is wide enough to hold it in one),
+    # and disable the folded layout so the multi-chunk path is what runs.
     from fuzzy_aho_corasick_tpu.ops import many as many_mod
 
     monkeypatch.setattr(many_mod, "MANY_LIMBS", 8)
+    monkeypatch.setenv("FAC_MANY_FOLD", "0")
     many = _dictionary(120)
     engine = (
         FuzzyAhoCorasickBuilder.new()
@@ -140,4 +142,86 @@ def test_many_lane_shared_suffix_fields(monkeypatch):
     res = fuzzy_search_many(engine, hay, 0.8, view, len(view))
     assert res is not None
     orc = oracle.search_raw(engine, hay, 0.8)
+    assert sorted(map(_key, res)) == sorted(map(_key, orc))
+
+
+def test_folded_lane_matches_oracle():
+    """Stratified-folded single-pass layout (superimposed bit lanes) stays
+    oracle-identical on a corpus with planted substitutions, swaps and
+    indels — folding adds scan false-positives only; the banded DP kills
+    them (ops/many._fold_assign)."""
+    from fuzzy_aho_corasick_tpu.ops import many as many_mod
+
+    many = _dictionary(400, seed=29)
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(many)
+    )
+    assert packed_fuzzy_of(engine) is None
+    spec_f = many_spec_of(engine, fold=True)
+    spec_p = many_spec_of(engine)
+    assert spec_f is not None and spec_f.folded
+    assert len(spec_f.chunks) < len(spec_p.chunks)
+
+    rng = np.random.default_rng(31)
+    parts = []
+    for w in many[:60]:
+        i = int(rng.integers(1, len(w) - 2))
+        mode = int(rng.integers(4))
+        if mode == 0:    # substitution
+            parts.append(w[:i] + ("q" if w[i] != "q" else "z") + w[i + 1:])
+        elif mode == 1:  # swap
+            parts.append(w[:i] + w[i + 1] + w[i] + w[i + 2:])
+        elif mode == 2:  # deletion
+            parts.append(w[:i] + w[i + 1:])
+        else:            # insertion
+            parts.append(w[:i] + "x" + w[i:])
+        parts.append("filler")
+    hay = " ".join(parts)
+    view = view_of(hay, True)
+    res = fuzzy_search_many(engine, hay, 0.8, view, len(view))
+    assert res is not None
+    assert engine.last_stats.get("folded") is True
+    assert engine.last_stats["chunks"] == len(spec_f.chunks)
+    orc = oracle.search_raw(engine, hay, 0.8)
+    assert sorted(map(_key, res)) == sorted(map(_key, orc))
+    assert len(res) > 30  # the planted edits really matched
+
+    # The plain (unsuperimposed) chunking returns the identical set.
+    engine._many_fold_off = True
+    res2 = fuzzy_search_many(engine, hay, 0.8, view, len(view))
+    assert res2 is not None and engine.last_stats.get("folded") is False
+    assert sorted(map(_key, res2)) == sorted(map(_key, res))
+
+
+@pytest.mark.slow
+def test_folded_lane_overflow_falls_back(monkeypatch):
+    """A corpus that is wall-to-wall needles blows the folded hit ceiling;
+    the lane must transparently re-run with the plain chunking (and pin the
+    engine off the folded layout) instead of failing or growing without
+    bound. The ceiling floor is patched down so a small corpus triggers it."""
+    from fuzzy_aho_corasick_tpu.ops import many as many_mod
+
+    monkeypatch.setattr(many_mod, "FOLD_HIT_CEIL_MIN", 64)
+    many = _dictionary(400, seed=37)
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(many)
+    )
+    spec_f = many_spec_of(engine, fold=True)
+    if spec_f is None:
+        pytest.skip("fold layout declined for this dictionary")
+    # Needle-dense corpus: every word is a dictionary pattern.
+    rng = np.random.default_rng(41)
+    hay = " ".join(many[int(rng.integers(len(many)))] for _ in range(300))
+    view = view_of(hay, True)
+    res = fuzzy_search_many(engine, hay, 0.82, view, len(view))
+    assert res is not None
+    assert engine._many_fold_off is True
+    assert engine.last_stats.get("folded") is False
+    orc = oracle.search_raw(engine, hay, 0.82)
     assert sorted(map(_key, res)) == sorted(map(_key, orc))
