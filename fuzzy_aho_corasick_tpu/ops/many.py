@@ -303,6 +303,7 @@ def many_spec_of(engine, fold: bool = False) -> Optional[ManyPackSpec]:
 def _expand_candidates_sparse(
     pos, words, start_lo, start_hi, pos_hi, E, CAND, KH2,
     cr_field, cr_shift, cr_depth,
+    ids_dense=None, path_cls_flat=None, Lmax=0, k=0,
 ):
     """Two-level sparse form of the candidate expansion: first compact the
     nonzero (hit, u32-word) pairs out of ``words`` [KH, 2W] (almost every
@@ -342,6 +343,31 @@ def _expand_candidates_sparse(
     fired = alive_p[:, None] & (rf >= 0) & (bits == 1)
     bits_p = (wprev[:, None] >> rs) & jnp.uint32(1)
     dup = prev_same[:, None] & (bits_p == 1)
+
+    if ids_dense is not None and Lmax >= 4:
+        # Containment pre-verify: of a row's first J=4 field-path chars, at
+        # least J - k must appear SOMEWHERE in the corpus window
+        # [s0 - 2k, s0 + 3 + 2k] (s0 = the band-center start). Sound under
+        # any script of <= k edits: a deletion removes at most k chars
+        # entirely, every surviving char stays within +-2k of its nominal
+        # position (<= k start slack + <= k indel drift). Order-free and
+        # cheap ([KH2, R, J, WJ] compares); on a folded layout it kills the
+        # ~90+% of rows that name a co-resident pattern other than the one
+        # that actually fired the lane, so the candidate buffer (and the
+        # CAND-proportional banded-DP/emit cost downstream) shrinks ~10x.
+        J = 4
+        WJ = 4 + 4 * k
+        rsafe = jnp.maximum(rf, 0)
+        pc = path_cls_flat[
+            rsafe[..., None] * Lmax + jnp.arange(J, dtype=jnp.int32)
+        ]                                                     # [KH2, R, J]
+        s0 = ends[:, None] - rd
+        wlo = jnp.clip(s0 - 2 * k, 0, jnp.maximum(start_hi - WJ, 0))
+        win = ids_dense[
+            wlo[..., None] + jnp.arange(WJ, dtype=jnp.int32)
+        ].astype(jnp.int32)                                   # [KH2, R, WJ]
+        cnt = (pc[..., :, None] == win[..., None, :]).any(-1).sum(-1)
+        fired = fired & ((rd < J) | (cnt >= J - k))
 
     ok_list, cf_list, cs_list = [], [], []
     for b in range(B):
@@ -400,6 +426,7 @@ def _many_pipeline_jit(
     pair_count, cand_count, cand_field, cand_start = _expand_candidates_sparse(
         pos, words, start_lo, start_hi, limit, E, CAND, KH2,
         cr_field, cr_shift, cr_depth,
+        ids_dense=ids_dense, path_cls_flat=path_cls_flat, Lmax=Lmax, k=k,
     )
     pen_flat, cnt_flat = _banded_dp(
         cand_field, cand_start,
