@@ -12,21 +12,28 @@ bench, benches/benchmark.rs:45-76).
 This lane restores that capability TPU-side with compile time *independent of
 pattern count*:
 
-* the dictionary is split into chunks of consecutive patterns, each fitting
-  the limb budget; every per-chunk table (shift-AND word table, start/match/
-  init masks, candidate-expansion maps) is a *traced device array* of one
-  uniform shape — so ONE compiled kernel serves every chunk;
+* the PRIMARY layout is stratified-folded (:func:`_fold_assign`): patterns
+  of the same length share aligned bit lanes (symbol masks OR'd), so the
+  whole dictionary scans in one (or few) wide passes; a cheap containment
+  pre-verify plus the banded DP kill the superposition's false fires. A
+  runtime hit ceiling falls back to the plain unsuperimposed chunking on
+  corpora too match-dense for superposition (engine-pinned);
+* the fallback splits the dictionary into chunks of consecutive patterns,
+  each fitting the limb budget; every per-chunk table (shift-AND word
+  table, start/match/init masks, candidate-expansion maps) is a *traced
+  device array* of one uniform shape — so ONE compiled kernel serves every
+  chunk;
 * the banded-DP verify tables are the parent engine's (fields are global
   verify-field ids), so the corpus is transcoded and device-resident ONCE,
   shared by all chunks;
 * chunks are dispatched back-to-back and read back in order — the device
-  computes chunk i+1 while chunk i's (sparse) result buffer crosses the host
-  link, the same overlap scheme as the sliced headline pipeline.
+  computes chunk i+1 while chunk i's (sparse) result buffer crosses the
+  host link, the same overlap scheme as the sliced headline pipeline.
 
 The scan kernel runs in its table-from-SMEM form (``consts=None`` in
 ops/packed_bitap._kernel_factory): ~2-3x slower per pass than the baked
-headline kernel, but the pass count is what grows with dictionary size and
-total scan work is ~linear in total pattern bits either way.
+headline kernel, but scan cost is ~linear in total limb count either way —
+the folded layout's whole point is to shrink that count ~4-5x.
 """
 
 from __future__ import annotations
@@ -58,7 +65,10 @@ MANY_MAX_PATTERNS = 4095
 #: bit lane, and the per-chunk limb budget for folded chunks (wider than the
 #: plain MANY_LIMBS — the whole point is fewer, wider passes; the traced
 #: kernel's VMEM layout derivation charges the extra scratch per lane).
-FOLD_EPS = float(_os_ml.environ.get("FAC_MANY_FOLD_EPS", str(1.0 / 1024.0)))
+#: 1/16 measured best on v5e (1k-word dict: W=31, one pass, 272 MB/s;
+#: tighter budgets widen W for no fire-rate benefit on real text, looser
+#: ones cross the runtime hit ceiling and fall back).
+FOLD_EPS = float(_os_ml.environ.get("FAC_MANY_FOLD_EPS", str(1.0 / 16.0)))
 FOLD_MAX_F = 8.0
 FOLD_CHUNK_LIMBS = 64
 #: Floor of the folded lane's runtime hit ceiling (tests patch this down to
@@ -130,9 +140,11 @@ class ManyPackSpec:
     halo length).
     """
 
-    __slots__ = ("filt", "chunks", "W", "A", "R", "m_max", "n_pat", "folded")
+    __slots__ = ("filt", "chunks", "W", "A", "R", "m_max", "n_pat", "folded",
+                 "rd_min", "rd_max")
 
-    def __init__(self, filt, chunks, W, A, R, m_max, n_pat, folded=False):
+    def __init__(self, filt, chunks, W, A, R, m_max, n_pat, folded=False,
+                 rd_min=1, rd_max=1):
         self.filt = filt
         self.chunks = chunks
         self.W = W
@@ -141,6 +153,8 @@ class ManyPackSpec:
         self.m_max = m_max
         self.n_pat = n_pat
         self.folded = folded
+        self.rd_min = rd_min
+        self.rd_max = rd_max
 
     @staticmethod
     def build(engine, fold: bool = False) -> Optional["ManyPackSpec"]:
@@ -236,6 +250,12 @@ class ManyPackSpec:
                         by_col[col].append(row)
             R = max([R] + [len(v) for v in by_col.values()])
             chunks.append((pidx, offsets, ms, by_col))
+        rd_all = [
+            d for (_pi, _o, _m, bc) in chunks
+            for rows_ in bc.values() for (_f, _s, d) in rows_
+        ]
+        rd_min = min(rd_all) if rd_all else 1
+        rd_max = max(rd_all) if rd_all else 1
 
         # Uniform-shape numpy tables (padded to the global W / R).
         out_chunks = []
@@ -248,17 +268,24 @@ class ManyPackSpec:
             cr_field = np.full((2 * W, R), -1, dtype=np.int32)
             cr_shift = np.zeros((2 * W, R), dtype=np.int32)
             cr_depth = np.zeros((2 * W, R), dtype=np.int32)
+            # First-4 path classes per row (containment pre-verify); -1 pads
+            # never equal a corpus class.
+            cr_pc = np.full((2 * W, R, 4), -1, dtype=np.int32)
             for col, rows in by_col.items():
                 for i, (fld, sh, d) in enumerate(rows):
                     cr_field[col, i] = fld
                     cr_shift[col, i] = sh
                     cr_depth[col, i] = d
+                    jj = min(4, d)
+                    cr_pc[col, i, :jj] = vf.path_cls[fld, :jj]
             out_chunks.append(
-                (pidx, offsets, ms, word_tbl, cr_field, cr_shift, cr_depth)
+                (pidx, offsets, ms, word_tbl, cr_field, cr_shift, cr_depth,
+                 cr_pc)
             )
         m_max = max(bp.m for bp in pats)
         return ManyPackSpec(
-            filt, out_chunks, W, A, R, m_max, len(pats), folded=fold
+            filt, out_chunks, W, A, R, m_max, len(pats), folded=fold,
+            rd_min=rd_min, rd_max=rd_max,
         )
 
     def masks_for(self, ks: List[int], k: int):
@@ -303,7 +330,7 @@ def many_spec_of(engine, fold: bool = False) -> Optional[ManyPackSpec]:
 def _expand_candidates_sparse(
     pos, words, start_lo, start_hi, pos_hi, E, CAND, KH2,
     cr_field, cr_shift, cr_depth,
-    ids_dense=None, path_cls_flat=None, Lmax=0, k=0,
+    ids_dense=None, cr_pc=None, k=0, rd_min=1, rd_max=1,
 ):
     """Two-level sparse form of the candidate expansion: first compact the
     nonzero (hit, u32-word) pairs out of ``words`` [KH, 2W] (almost every
@@ -344,29 +371,39 @@ def _expand_candidates_sparse(
     bits_p = (wprev[:, None] >> rs) & jnp.uint32(1)
     dup = prev_same[:, None] & (bits_p == 1)
 
-    if ids_dense is not None and Lmax >= 4:
+    if ids_dense is not None and cr_pc is not None and rd_max >= 4:
         # Containment pre-verify: of a row's first J=4 field-path chars, at
         # least J - k must appear SOMEWHERE in the corpus window
-        # [s0 - 2k, s0 + 3 + 2k] (s0 = the band-center start). Sound under
-        # any script of <= k edits: a deletion removes at most k chars
-        # entirely, every surviving char stays within +-2k of its nominal
-        # position (<= k start slack + <= k indel drift). Order-free and
-        # cheap ([KH2, R, J, WJ] compares); on a folded layout it kills the
-        # ~90+% of rows that name a co-resident pattern other than the one
-        # that actually fired the lane, so the candidate buffer (and the
-        # CAND-proportional banded-DP/emit cost downstream) shrinks ~10x.
+        # [s0 - 2k, s0 + 3 + 2k] (s0 = the band-center start = end - depth).
+        # Sound under any script of <= k edits: a deletion removes at most
+        # k chars entirely, every surviving char stays within +-2k of its
+        # nominal position (<= k start slack + <= k indel drift). On a
+        # folded layout it kills the ~90+% of rows that name a co-resident
+        # pattern other than the one that actually fired the lane, so the
+        # candidate buffer (and the CAND-proportional banded-DP cost
+        # downstream) shrinks ~5-10x.
+        #
+        # Cost shape: the path chars are a STATIC [2W, R, 4] table (one row
+        # take, no per-row gather) and ONE corpus window of width
+        # WP = WJ + (rd_max - rd_min) is gathered per PAIR — each row's
+        # [s0 - 2k, s0 + WJ) sub-window is selected arithmetically. The
+        # first cut of this filter gathered [KH2, R, 8] windows and its
+        # gathers cost ~3x what the banded DP saved.
         J = 4
-        WJ = 4 + 4 * k
-        rsafe = jnp.maximum(rf, 0)
-        pc = path_cls_flat[
-            rsafe[..., None] * Lmax + jnp.arange(J, dtype=jnp.int32)
-        ]                                                     # [KH2, R, J]
-        s0 = ends[:, None] - rd
-        wlo = jnp.clip(s0 - 2 * k, 0, jnp.maximum(start_hi - WJ, 0))
-        win = ids_dense[
-            wlo[..., None] + jnp.arange(WJ, dtype=jnp.int32)
-        ].astype(jnp.int32)                                   # [KH2, R, WJ]
-        cnt = (pc[..., :, None] == win[..., None, :]).any(-1).sum(-1)
+        WJ = J + 4 * k
+        WP = WJ + (rd_max - rd_min)
+        pc = cr_pc[c]                                         # [KH2, R, J]
+        lo_r = ends[:, None] - rd - 2 * k                     # [KH2, R]
+        lo_p = ends - rd_max - 2 * k                          # [KH2]
+        wlo = jnp.clip(lo_p, 0, jnp.maximum(start_hi - WP, 0))
+        t_abs = wlo[:, None] + jnp.arange(WP, dtype=jnp.int32)
+        win = ids_dense[t_abs].astype(jnp.int32)              # [KH2, WP]
+        valid = (
+            (t_abs[:, None, :] >= lo_r[..., None])
+            & (t_abs[:, None, :] < (lo_r + WJ)[..., None])
+        )                                                     # [KH2, R, WP]
+        eq = (pc[..., :, None] == win[:, None, None, :]) & valid[..., None, :]
+        cnt = eq.any(-1).sum(-1)                              # [KH2, R]
         fired = fired & ((rd < J) | (cnt >= J - k))
 
     ok_list, cf_list, cs_list = [], [], []
@@ -394,19 +431,20 @@ def _expand_candidates_sparse(
     jax.jit,
     static_argnames=(
         "A", "W", "NL", "TB", "grid", "chunkpf", "halo", "k",
-        "KH", "KH2", "CAND", "KG", "E", "Lmax", "C", "MO", "DEADEND",
+        "KH", "KH2", "CAND", "KG", "E", "Lmax", "C", "MO", "RDMN", "RDMX",
+        "DEADEND",
     ),
 )
 def _many_pipeline_jit(
     ids_pf, ids_pf_w32, word_tbl, pf_starts, pf_match, pf_init, pf_notlast,
-    cr_field, cr_shift, cr_depth,
+    cr_field, cr_shift, cr_depth, cr_pc,
     depth_arr, node_arr, path_cls_flat, path_node_flat,
     out_list, pat_len, pat_weight,
     ids_dense, ids_dense_w32, limit, start_lo, start_hi,
     sim_flat, node_ceil, sb_edge_flat, out_count_arr,
     max_pen, p_sub, p_ins, p_del, p_swap, floor, thr,
     A, W, NL, TB, grid, chunkpf, halo, k,
-    KH, KH2, CAND, KG, E, Lmax, C, MO,
+    KH, KH2, CAND, KG, E, Lmax, C, MO, RDMN=1, RDMX=1,
     DEADEND=False,
 ):
     """One pattern-chunk's full search: scan -> expand -> banded DP -> emit.
@@ -426,7 +464,7 @@ def _many_pipeline_jit(
     pair_count, cand_count, cand_field, cand_start = _expand_candidates_sparse(
         pos, words, start_lo, start_hi, limit, E, CAND, KH2,
         cr_field, cr_shift, cr_depth,
-        ids_dense=ids_dense, path_cls_flat=path_cls_flat, Lmax=Lmax, k=k,
+        ids_dense=ids_dense, cr_pc=cr_pc, k=k, rd_min=RDMN, rd_max=RDMX,
     )
     pen_flat, cnt_flat = _banded_dp(
         cand_field, cand_start,
@@ -558,7 +596,7 @@ def _many_search_spec(
         masks = spec.masks_for(ks, k)
         out = []
         for ci, ((_pidx, _offs, _ms, word_tbl, cr_field, cr_shift,
-                  cr_depth), (starts, match, init, notlast)) in enumerate(
+                  cr_depth, cr_pc), (starts, match, init, notlast)) in enumerate(
             zip(spec.chunks, masks)
         ):
             out.append((
@@ -570,6 +608,7 @@ def _many_search_spec(
                 jax.device_put(cr_field),
                 jax.device_put(cr_shift),
                 jax.device_put(cr_depth),
+                jax.device_put(cr_pc),
             ))
         return tuple(out)
 
@@ -621,10 +660,10 @@ def _many_search_spec(
     _timing = _os.environ.get("FAC_TIME") == "1"
 
     def _launch(ci, KH_, KH2_, CAND_, KG_):
-        (word_tbl, sb, mb, ib, nlb, cr_f, cr_s, cr_d) = chunk_tabs[ci]
+        (word_tbl, sb, mb, ib, nlb, cr_f, cr_s, cr_d, cr_p) = chunk_tabs[ci]
         return _many_pipeline_jit(
             ids_pf, ids_pf_w32, word_tbl, sb, mb, ib, nlb,
-            cr_f, cr_s, cr_d,
+            cr_f, cr_s, cr_d, cr_p,
             dep_d, node_d, pcls_d, pnode_d,
             olist_d, plen_d, pw_d,
             ids_dense, ids_dense_w32, np.int32(n), np.int32(0), np.int32(n),
@@ -635,6 +674,7 @@ def _many_search_spec(
             halo=halo, k=k,
             KH=KH_, KH2=KH2_, CAND=CAND_, KG=KG_, E=E, Lmax=vf.max_depth,
             C=dense.num_classes, MO=dense.max_out,
+            RDMN=spec.rd_min, RDMX=spec.rd_max,
             DEADEND=dense.has_multibyte_edges,
         )
 
