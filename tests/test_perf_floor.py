@@ -130,4 +130,7 @@ def test_device_throughput_floor_more_lanes():
     )
     meng.backend = "device"
     many_bps = _best_bps(meng, hay, 0.82)
-    assert many_bps >= 45e6, f"many1k lane regressed: {many_bps/1e6:.0f} MB/s"
+    # Floor ~70% of the round-5 folded-layout number (272 MB/s measured);
+    # a fall back to the plain chunking (~90 MB/s) fails this loudly.
+    assert meng.last_stats.get("folded") is True, meng.last_stats
+    assert many_bps >= 180e6, f"many1k lane regressed: {many_bps/1e6:.0f} MB/s"
