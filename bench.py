@@ -414,6 +414,12 @@ def run_extras(detail, corpus, fengine, dictionary):
             # FAC_TIME pass records where the calling thread's time goes —
             # wait (blocked on the search worker: device dispatch + prep),
             # post (SoA ranking/non-overlap), emit (byte assembly + write).
+            # Drop the measured passes' ~100 MiB output buffers first: their
+            # allocator pressure once inflated the instrumented emit ~20x.
+            del out
+            import gc as _gc
+
+            _gc.collect()
             try:
                 os.environ["FAC_TIME"] = "1"
                 fengine.replace_stream_parallel(
