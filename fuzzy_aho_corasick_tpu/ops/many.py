@@ -49,13 +49,13 @@ from .compact import compact_indices
 
 import os as _os_ml
 
-#: Uniform u64 limb budget per chunk kernel. The scan kernel's wall cost is
-#: dominated by per-pass fixed work (flag transpose, prefix-sum compaction,
-#: hit replay), not limb width — measured on v5e: a W=32 traced pass over
-#: 32 Mi symbols runs as fast as W=8 — so wide chunks (fewer passes) are a
-#: direct multiplier on large-dictionary throughput. 32 limbs = 2048
-#: pattern-bits/chunk keeps the traced-table VMEM slice within the scoped
-#: budget at NL=2048 (see packed_bitap._derive_layout_resident).
+#: Uniform u64 limb budget per PLAIN (unsuperimposed) chunk. At narrow W
+#: per-pass fixed work (flag transpose, compaction, replay) dominates, so
+#: wide chunks beat many narrow ones; at wide W the kernel's
+#: ~alphabet x 2W selects/position take over (measured on v5e: W=31..57
+#: traced passes all cost ~70-155 ms per 24 Mi symbols) — which is why the
+#: folded layout, not wider plain chunks, is the large-dictionary lane's
+#: primary form (see _fold_assign).
 MANY_LIMBS = int(_os_ml.environ.get("FAC_MANY_LIMBS", "32"))
 #: Pattern-id field in the packed emission rows is 12 bits.
 MANY_MAX_PATTERNS = 4095
