@@ -482,6 +482,21 @@ def run_extras(detail, corpus, fengine, dictionary):
             detail[f"{name}_bps"] = round(sn / dt)
             detail[f"{name}_matches"] = len(ms)
             _log(f"{name}: {sn / dt / 1e6:.0f} MB/s, {len(ms)} matches")
+            # Stage budget into the record (VERDICT r4 weak 4: where does
+            # the E1->E2 drop beyond the 2E+1 band-growth theory go?).
+            try:
+                os.environ["FAC_TIME"] = "1"
+                eng.search_raw(sub, thr)
+                st = dict(getattr(eng, "last_stats", {}) or {})
+                detail[f"{name}_stages"] = {
+                    k: st[k] for k in (
+                        "dispatch_ms", "readback_ms", "decode_ms",
+                        "hits", "candidates", "emissions", "backend",
+                    ) if k in st
+                }
+                _log(f"{name} stages: {detail[f'{name}_stages']}")
+            finally:
+                os.environ.pop("FAC_TIME", None)
             del eng, ms, probe, pv  # release device consts
         except Exception as e:  # pragma: no cover - bench resilience
             detail[f"{name}_error"] = repr(e)
