@@ -437,33 +437,6 @@ def run_extras(detail, corpus, fengine, dictionary):
         except Exception as e:  # pragma: no cover - bench resilience
             detail["replace_stream_parallel_error"] = repr(e)
 
-    # Multi-host streaming replace (BASELINE config 5): the host-sharded
-    # find-and-replace driver over 2 logical host shards (single-process
-    # form — each shard's owned byte range is searched via the sharded
-    # device lane, matches allgather, and owned segments concatenate in
-    # host order; byte-identity vs replace_stream is a test,
-    # tests/test_multihost.py). The bench records the assembled-bytes rate.
-    if budget_ok("replace_multihost", 70.0):
-        try:
-            from fuzzy_aho_corasick_tpu.parallel.multihost import (
-                replace_multihost,
-            )
-
-            table = [w.upper() for w in dictionary[:8]]
-            sub_mh = corpus[: 24 << 20]
-            replace_multihost(fengine, sub_mh.encode(), 0.8, table, 2)  # warm
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                outb = replace_multihost(fengine, sub_mh.encode(), 0.8, table, 2)
-                best = min(best, time.time() - t0)
-            detail["replace_multihost_bps"] = round(len(sub_mh) / best)
-            detail["replace_multihost_bytes_out"] = len(outb)
-            _log(f"replace_multihost: {len(sub_mh) / best / 1e6:.0f} MB/s "
-                 f"(2 host shards, single-process)")
-        except Exception as e:  # pragma: no cover - bench resilience
-            detail["replace_multihost_error"] = repr(e)
-
     # swaps(0) keeps the bitap budget k == edits. (Historical note: before
     # the Damerau-aware scan, swap-permitting budgets doubled k — reference
     # prefilter.rs:174-183 — and stopped pruning on random text; the
@@ -567,6 +540,34 @@ def run_extras(detail, corpus, fengine, dictionary):
             del meng2, ms, msub
         except Exception as e:  # pragma: no cover - bench resilience
             detail["mapped_error"] = repr(e)
+
+    # Multi-host streaming replace (BASELINE config 5): the host-sharded
+    # find-and-replace driver over 2 logical host shards (single-process
+    # form — each shard's owned byte range is searched via the sharded
+    # device lane, matches allgather, and owned segments concatenate in
+    # host order; byte-identity vs replace_stream is a test,
+    # tests/test_multihost.py). The bench records the assembled-bytes rate.
+    if budget_ok("replace_multihost", 70.0):
+        try:
+            from fuzzy_aho_corasick_tpu.parallel.multihost import (
+                replace_multihost,
+            )
+
+            table = [w.upper() for w in dictionary[:8]]
+            sub_mh = corpus[: 24 << 20]
+            replace_multihost(fengine, sub_mh.encode(), 0.8, table, 2)  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                outb = replace_multihost(fengine, sub_mh.encode(), 0.8, table, 2)
+                best = min(best, time.time() - t0)
+            detail["replace_multihost_bps"] = round(len(sub_mh) / best)
+            detail["replace_multihost_bytes_out"] = len(outb)
+            _log(f"replace_multihost: {len(sub_mh) / best / 1e6:.0f} MB/s "
+                 f"(2 host shards, single-process)")
+        except Exception as e:  # pragma: no cover - bench resilience
+            detail["replace_multihost_error"] = repr(e)
+
 
 def main():
     import jax
