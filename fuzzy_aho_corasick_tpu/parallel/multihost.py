@@ -123,12 +123,22 @@ def search_host_shard(
         text = body[: e.start].decode("utf-8")
     base = shard.read_start + lo
 
+    import jax
+
+    n_local = (
+        int(mesh.devices.size) if mesh is not None else len(jax.local_devices())
+    )
     matches = None
-    if engine.max_edits_fast >= 1:
-        matches = sharded_fuzzy_search(engine, text, threshold, mesh)
-    if matches is None and engine.max_edits_fast == 0:
-        matches = sharded_exact_search(engine, text, threshold, mesh)
+    if n_local > 1:
+        # Multi-chip host: shard the slice over the local mesh.
+        if engine.max_edits_fast >= 1:
+            matches = sharded_fuzzy_search(engine, text, threshold, mesh)
+        if matches is None and engine.max_edits_fast == 0:
+            matches = sharded_exact_search(engine, text, threshold, mesh)
     if matches is None:
+        # Single local chip: the regular pipeline's compact ratcheted result
+        # buffers beat the mesh lane's fixed-capacity readback (~40 MB per
+        # shard over a tunneled link) with nothing to shard over anyway.
         matches = engine.search_raw(text, threshold)
 
     out: List[FuzzyMatch] = []

@@ -257,3 +257,32 @@ def test_two_process_distributed_allgather(tmp_path):
     )
     assert segs[0] + segs[1] == w.getvalue()
     assert w.getvalue().count(b"<N>") == 40 and w.getvalue().count(b"<P>") == 40
+
+
+def test_replace_multihost_single_device_mesh():
+    """A host with ONE local device routes shard searches through the
+    regular pipeline (the mesh lane's fixed-capacity readback buys nothing
+    with no devices to shard over) — output must stay byte-identical to the
+    multi-device mesh form."""
+    import io
+
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from fuzzy_aho_corasick_tpu import FuzzyAhoCorasickBuilder, FuzzyLimits
+    from fuzzy_aho_corasick_tpu.parallel.multihost import replace_multihost
+
+    engine = (
+        FuzzyAhoCorasickBuilder.new()
+        .fuzzy(FuzzyLimits.new().edits(1))
+        .case_insensitive(True)
+        .build(["needle", "pattern"])
+    )
+    corpus = ("find the needle in this patern haystack " * 4000).encode()
+    table = ["<N>", "<P>"]
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    got1 = replace_multihost(engine, corpus, 0.72, table, 3, mesh1)
+    got8 = replace_multihost(engine, corpus, 0.72, table, 3)
+    assert got1 == got8
+    assert b"<N>" in got1 and b"<P>" in got1
