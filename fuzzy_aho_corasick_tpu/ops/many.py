@@ -554,14 +554,26 @@ def _many_search_spec(
     # as the baked headline lane, ops/verify_dp.fuzzy_search_dp).
     import os as _os_k
 
-    ks_p = [spec.filt.k_for(bp, thr) for bp in spec.filt.patterns]
-    ks_d = [spec.filt.k_for(bp, thr, damerau=True) for bp in spec.filt.patterns]
-    dam = (
-        _os_k.environ.get("FAC_NO_DAMERAU") != "1"
-        and None not in ks_d
-        and (None in ks_p or max(ks_d) < max(ks_p))
-    )
-    ks = ks_d if dam else ks_p
+    # Per-pattern budgets are threshold-pure; the 2x1000 k_for python loop
+    # costs ~2-3 ms per call otherwise (~3% of a warm folded search).
+    ks_cache = getattr(engine, "_many_ks_cache", None)
+    if ks_cache is None:
+        ks_cache = engine._many_ks_cache = {}
+    ck = (float(thr), _os_k.environ.get("FAC_NO_DAMERAU") == "1")
+    got = ks_cache.get(ck)
+    if got is None:
+        ks_p = [spec.filt.k_for(bp, thr) for bp in spec.filt.patterns]
+        ks_d = [
+            spec.filt.k_for(bp, thr, damerau=True)
+            for bp in spec.filt.patterns
+        ]
+        dam = (
+            not ck[1]
+            and None not in ks_d
+            and (None in ks_p or max(ks_d) < max(ks_p))
+        )
+        got = ks_cache[ck] = (ks_d if dam else ks_p, dam)
+    ks, dam = got
     if None in ks:
         return None
     k = max(ks)
