@@ -217,9 +217,11 @@ def run_extras(detail, corpus, fengine, dictionary):
             meng.backend = "device"
             meng.search_raw(msub_many, 0.82)  # warm
             meng.search_raw(msub_many, 0.82)  # cap ratchet-down may recompile
-            t0 = time.time()
-            ms = meng.search_raw(msub_many, 0.82)
-            dt = time.time() - t0
+            dt = float("inf")
+            for _ in range(3):  # best-of-3 against link variance
+                t0 = time.time()
+                ms = meng.search_raw(msub_many, 0.82)
+                dt = min(dt, time.time() - t0)
             detail["many1k_bps"] = round(len(msub_many) / dt)
             detail["many1k_patterns"] = len(many)
             detail["many1k_matches"] = len(ms)
