@@ -44,6 +44,7 @@ for the scan itself.)
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -941,12 +942,122 @@ def _derive_layout_resident(nb: int, halo: int, W: int, k: int = 0,
     return nl, tb, chunk, grid
 
 
+def _engine_fingerprint(engine) -> str:
+    """Stable cross-process identity for the persistent capacity cache:
+    a digest of everything that shapes the device pipelines (patterns +
+    weights + per-pattern limits, penalties, fuzzy limits, similarity
+    table, mappings, beam/backend config). Purely a performance hint — a
+    collision or omission only seeds a wrong capacity, and the existing
+    overflow/ratchet retry loop converges to the right one at runtime."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for p in engine.patterns():
+        h.update(repr((p.pattern, float(p.weight),
+                       None if p.limits is None else repr(vars(p.limits)),
+                       p.custom_unique_id)).encode())
+    lim = engine.limits
+    h.update(repr((
+        None if lim is None else repr(vars(lim)),
+        repr(vars(engine.penalties)),
+        engine.case_insensitive, engine.has_pattern_limits,
+        int(engine.max_edits_fast),
+        sorted(engine.mappings.items()) if engine.mappings else None,
+        engine.beam_width, engine.auto_beam,
+        float(engine.min_symbol_similarity),
+    )).encode())
+    sim_map = getattr(engine.similarity, "map", None)
+    if sim_map:
+        h.update(repr(sorted(
+            (a, b, float(v)) for (a, b), v in sim_map.items()
+        )).encode())
+    return h.hexdigest()
+
+
+class _PersistentCaps(dict):
+    """Write-through capacity cache. Converged caps (found by the
+    overflow-retry / ratchet-down loops) persist across processes, so a
+    fresh process — the driver's bench run, a production warm-start —
+    compiles each kernel ONCE at the converged capacity (whose executable
+    the persistent compile cache already holds) instead of once at the
+    corpus-scaled guess plus once after the ratchet. Best-effort: any IO
+    failure degrades to the plain in-memory dict."""
+
+    __slots__ = ("_path",)
+
+    def __init__(self, path, data=()):
+        super().__init__(data)
+        self._path = path
+
+    def __setitem__(self, k, v):
+        if dict.get(self, k) == v:
+            return  # steady-state searches re-assert converged caps
+        dict.__setitem__(self, k, v)
+        self._flush()
+
+    def _flush(self):
+        if self._path is None:
+            return
+        import json
+
+        try:
+            merged = _load_caps_file(self._path)
+            merged.update({repr(k): int(v) for k, v in self.items()})
+            tmp = f"{self._path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(merged, f)
+            os.replace(tmp, self._path)
+        except OSError:
+            pass
+
+
+def _load_caps_file(path) -> dict:
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _caps_dir() -> Optional[str]:
+    import os as _os
+
+    if _os.environ.get("FAC_NO_CAP_CACHE") == "1":
+        return None
+    d = _os.environ.get("FAC_CAP_CACHE") or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "fuzzy_aho_corasick_tpu", "caps"
+    )
+    try:
+        _os.makedirs(d, exist_ok=True)
+        return d
+    except OSError:
+        return None
+
+
 def _cap_cache(engine) -> dict:
     """Converged capacity K per static-shape key, so repeated searches never
-    re-enter the capacity-retry loop (each distinct K is a fresh compile)."""
+    re-enter the capacity-retry loop (each distinct K is a fresh compile).
+    Backed by a per-engine-fingerprint JSON file (see :class:`_PersistentCaps`)
+    so convergence survives the process."""
     c = getattr(engine, "_packed_caps", None)
     if c is None:
-        c = {}
+        d = _caps_dir()
+        path = None
+        data = {}
+        if d is not None:
+            try:
+                import ast
+
+                path = os.path.join(d, f"{_engine_fingerprint(engine)}.json")
+                data = {
+                    ast.literal_eval(k): int(v)
+                    for k, v in _load_caps_file(path).items()
+                }
+            except Exception:
+                path, data = None, {}
+        c = _PersistentCaps(path, data)
         engine._packed_caps = c
     return c
 

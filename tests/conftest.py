@@ -15,6 +15,15 @@ import sys
 # the CPU mesh. Everything else runs on the virtual 8-device CPU mesh.
 if os.environ.get("FAC_REAL_DEVICE") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
+
+# Keep the persistent capacity cache (ops/packed_bitap._PersistentCaps) out
+# of the user's real cache dir: tests build hundreds of tiny engines and
+# would otherwise litter it. A test that wants the real behavior overrides
+# FAC_CAP_CACHE itself.
+if "FAC_CAP_CACHE" not in os.environ and "FAC_NO_CAP_CACHE" not in os.environ:
+    import tempfile
+
+    os.environ["FAC_CAP_CACHE"] = tempfile.mkdtemp(prefix="fac_caps_")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
